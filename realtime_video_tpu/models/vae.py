@@ -1,0 +1,504 @@
+"""Wan 2.1 causal 3D VAE — functional JAX implementation with explicit
+streaming conv caches.
+
+Mirrors the reference architecture and cache semantics exactly:
+  * CausalConv3d left-pads time by 2*pad_t, splicing in up to CACHE_T=2 cached
+    input frames (wan/modules/vae.py:17-36);
+  * Resample up/down 3d time-convs skip entirely on the first-ever chunk
+    (vae.py:104-149) — `first=True` is a static switch here (two jit variants
+    replace the reference's `feat_cache[idx] is None` checks);
+  * encode chunks time as 1,4,4,... (vae.py:491-517); decode runs frame by
+    frame (vae.py:519-567); the streaming wrappers keep the cache alive across
+    calls (demo_utils/vae_block3.py:116-230).
+
+TPU-first details: NTHWC layout (XLA conv wants channels-last), caches are a
+flat tuple of arrays threaded through jit (the reference's *args-cache design,
+vae_block3.py:195-230, was already shaped for this), norms in f32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_video_tpu.config import (
+    VAEConfig,
+    VAE_LATENT_MEAN,
+    VAE_LATENT_STD,
+)
+
+Params = Dict[str, Any]
+Cache = Tuple[jnp.ndarray, ...]
+
+CACHE_T = 2
+
+
+# ---------------------------------------------------------------------------
+# cache cursor: traversal order is static, so a host-side cursor threads the
+# flat cache tuple through the (traced) module graph
+# ---------------------------------------------------------------------------
+
+
+class _CacheIO:
+    def __init__(self, entries: Optional[Sequence[jnp.ndarray]]):
+        self.entries = list(entries) if entries is not None else None
+        self.out: List[jnp.ndarray] = []
+        self.i = 0
+
+    def get(self) -> Optional[jnp.ndarray]:
+        if self.entries is None:
+            self.i += 1
+            return None
+        v = self.entries[self.i]
+        self.i += 1
+        return v
+
+    def put(self, v: jnp.ndarray) -> None:
+        self.out.append(v)
+
+
+# ---------------------------------------------------------------------------
+# primitives (NTHWC)
+# ---------------------------------------------------------------------------
+
+
+def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.ndarray:
+    """x [B*T, H, W, C]."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def causal_conv3d(
+    p: Params,
+    x: jnp.ndarray,
+    cache: Optional[jnp.ndarray],
+    io: _CacheIO,
+    stride=(1, 1, 1),
+) -> jnp.ndarray:
+    """CausalConv3d with cache splice (vae.py:17-36) + cache update
+    (vae.py:191-209: new cache = last CACHE_T input frames, carrying over the
+    previous cache frame when the chunk is shorter)."""
+    kt, kh, kw = p["w"].shape[:3]
+    pad_t, pad_h, pad_w = 2 * (kt // 2), kh // 2, kw // 2
+    if pad_t > 0:
+        if cache is None:
+            xin = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
+            new_cache = x[:, -CACHE_T:]
+            if new_cache.shape[1] < CACHE_T:  # first chunk had 1 frame
+                new_cache = jnp.concatenate(
+                    [jnp.zeros_like(new_cache), new_cache], axis=1
+                )[:, -CACHE_T:]
+        else:
+            xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            if xin.shape[1] < x.shape[1] + pad_t:
+                xin = jnp.pad(
+                    xin,
+                    ((0, 0), (x.shape[1] + pad_t - xin.shape[1], 0), (0, 0), (0, 0), (0, 0)),
+                )
+            new_cache = jnp.concatenate([cache.astype(x.dtype), x], axis=1)[:, -CACHE_T:]
+        io.put(new_cache)
+    else:
+        xin = x
+    y = conv3d(
+        p, jnp.pad(xin, ((0, 0), (0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0))),
+        stride=stride,
+    )
+    return y
+
+
+def rms_norm_image(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """RMS_norm channel-first images=False (vae.py:39-54): L2-normalise over C,
+    scale by sqrt(C)*gamma (+ bias). Here C is the last axis."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True)) + 1e-12
+    d = x.shape[-1]
+    y = xf / norm * math.sqrt(d) * p["gamma"].astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def residual_block(p: Params, x: jnp.ndarray, io: _CacheIO, first: bool) -> jnp.ndarray:
+    """ResidualBlock (vae.py:175-209): RMS-SiLU-conv ×2 + shortcut."""
+    h = x
+    if "shortcut" in p:
+        h = conv3d(p["shortcut"], x)  # 1x1x1, no temporal pad
+    y = rms_norm_image(p["norm1"], x)
+    y = jax.nn.silu(y)
+    y = causal_conv3d(p["conv1"], y, io.get(), io)
+    y = rms_norm_image(p["norm2"], y)
+    y = jax.nn.silu(y)
+    y = causal_conv3d(p["conv2"], y, io.get(), io)
+    return y + h
+
+
+def attention_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Single-head per-frame spatial attention (vae.py:212-251)."""
+    b, t, hh, ww, c = x.shape
+    ident = x
+    y = rms_norm_image(p["norm"], x)
+    y = y.reshape(b * t, hh * ww, c)
+    qkv = jnp.einsum("blc,cd->bld", y, p["to_qkv"]["w"].astype(y.dtype)) + p["to_qkv"][
+        "b"
+    ].astype(y.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    scale = c**-0.5
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", probs, v)
+    o = jnp.einsum("blc,cd->bld", o, p["proj"]["w"].astype(o.dtype)) + p["proj"][
+        "b"
+    ].astype(o.dtype)
+    return ident + o.reshape(b, t, hh, ww, c)
+
+
+def _spatial(fn, x: jnp.ndarray) -> jnp.ndarray:
+    b, t = x.shape[:2]
+    y = fn(x.reshape(b * t, *x.shape[2:]))
+    return y.reshape(b, t, *y.shape[1:])
+
+
+def resample(
+    p: Params, mode: str, x: jnp.ndarray, io: _CacheIO, first: bool
+) -> jnp.ndarray:
+    """Resample up/down 2d/3d with time-conv caches (vae.py:66-149)."""
+    b, t, hh, ww, c = x.shape
+    if mode == "upsample3d":
+        if first:
+            # reference: allocate zero cache, skip time conv (vae.py:109-111)
+            io.put(jnp.zeros((b, CACHE_T, hh, ww, c), x.dtype))
+        else:
+            cache = io.get()
+            xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            y = conv3d(p["time_conv"], xin)  # k=(3,1,1) valid -> t frames, 2c ch
+            # cache update (vae.py:114-120)
+            if t >= CACHE_T:
+                new_cache = x[:, -CACHE_T:]
+            else:
+                last = x[:, -1:]
+                padding = jnp.where(cache[:, -1:] == 0, 0.0, last.astype(cache.dtype))
+                new_cache = jnp.concatenate([padding.astype(x.dtype), last], axis=1)
+            io.put(new_cache)
+            # interleave the two halves over time (vae.py:123-125)
+            y = y.reshape(b, t, hh, ww, 2, c)
+            y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, t * 2, hh, ww, c)
+            x = y
+            t = x.shape[1]
+
+    if mode in ("upsample2d", "upsample3d"):
+        # nearest 2x then 3x3 conv dim -> dim//2
+        up = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        x = _spatial(
+            lambda z: conv2d(
+                p["conv"], jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0))), (1, 1)
+            ),
+            up,
+        )
+    elif mode in ("downsample2d", "downsample3d"):
+        # ZeroPad2d (0,1,0,1) + 3x3 stride-2 conv (vae.py:90-98)
+        x = _spatial(
+            lambda z: conv2d(
+                p["conv"], jnp.pad(z, ((0, 0), (0, 1), (0, 1), (0, 0))), (2, 2)
+            ),
+            x,
+        )
+
+    if mode == "downsample3d":
+        if first:
+            io.put(x)  # full chunk stored (vae.py:135-137)
+        else:
+            cache = io.get()
+            pre = x
+            xin = jnp.concatenate([cache[:, -1:].astype(x.dtype), x], axis=1)
+            x = conv3d(p["time_conv"], xin, stride=(2, 1, 1))
+            io.put(pre[:, -1:])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder graphs
+# ---------------------------------------------------------------------------
+
+
+def _encoder_plan(cfg: VAEConfig):
+    """(list of ('res', in, out) | ('resample', mode, dim)) per stage."""
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    plan = []
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        cur = din
+        for _ in range(cfg.num_res_blocks):
+            plan.append(("res", cur, dout))
+            cur = dout
+        if i != len(cfg.dim_mult) - 1:
+            mode = "downsample3d" if cfg.temperal_downsample[i] else "downsample2d"
+            plan.append(("resample", mode, dout))
+    return dims, plan
+
+
+def _decoder_plan(cfg: VAEConfig):
+    dims = [cfg.dim * u for u in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    plan = []
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        cur = din // 2 if i in (1, 2, 3) else din  # vae.py:380-383
+        for _ in range(cfg.num_res_blocks + 1):
+            plan.append(("res", cur, dout))
+            cur = dout
+        if i != len(cfg.dim_mult) - 1:
+            mode = "upsample3d" if cfg.temperal_upsample[i] else "upsample2d"
+            plan.append(("resample", mode, dout))
+    return dims, plan
+
+
+def encoder_apply(
+    cfg: VAEConfig, params: Params, x: jnp.ndarray, cache: Optional[Cache], first: bool
+) -> Tuple[jnp.ndarray, Cache]:
+    """Encoder3d (vae.py:254-345). x [B,T,H,W,3] -> [B,T/4ish,H/8,W/8,2*z]."""
+    io = _CacheIO(cache)
+    x = causal_conv3d(params["conv1"], x, io.get(), io)
+    _, plan = _encoder_plan(cfg)
+    for spec, p in zip(plan, params["downsamples"]):
+        if spec[0] == "res":
+            x = residual_block(p, x, io, first)
+        else:
+            x = resample(p, spec[1], x, io, first)
+    x = residual_block(params["middle_res1"], x, io, first)
+    x = attention_block(params["middle_attn"], x)
+    x = residual_block(params["middle_res2"], x, io, first)
+    x = rms_norm_image(params["head_norm"], x)
+    x = jax.nn.silu(x)
+    x = causal_conv3d(params["head_conv"], x, io.get(), io)
+    return x, tuple(io.out)
+
+
+def decoder_apply(
+    cfg: VAEConfig, params: Params, x: jnp.ndarray, cache: Optional[Cache], first: bool
+) -> Tuple[jnp.ndarray, Cache]:
+    """Decoder3d (vae.py:348-446). x [B,T,h,w,z] -> [B,~4T,8h,8w,3]."""
+    io = _CacheIO(cache)
+    x = causal_conv3d(params["conv1"], x, io.get(), io)
+    x = residual_block(params["middle_res1"], x, io, first)
+    x = attention_block(params["middle_attn"], x)
+    x = residual_block(params["middle_res2"], x, io, first)
+    _, plan = _decoder_plan(cfg)
+    for spec, p in zip(plan, params["upsamples"]):
+        if spec[0] == "res":
+            x = residual_block(p, x, io, first)
+        else:
+            x = resample(p, spec[1], x, io, first)
+    x = rms_norm_image(params["head_norm"], x)
+    x = jax.nn.silu(x)
+    x = causal_conv3d(params["head_conv"], x, io.get(), io)
+    return x, tuple(io.out)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_conv3d(key, kt, kh, kw, cin, cout, dtype) -> Params:
+    fan_in = kt * kh * kw * cin
+    lim = 1.0 / math.sqrt(fan_in)
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(k1, (kt, kh, kw, cin, cout), jnp.float32, -lim, lim).astype(dtype),
+        "b": jax.random.uniform(k2, (cout,), jnp.float32, -lim, lim).astype(dtype),
+    }
+
+
+def _init_conv2d(key, kh, kw, cin, cout, dtype) -> Params:
+    fan_in = kh * kw * cin
+    lim = 1.0 / math.sqrt(fan_in)
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(k1, (kh, kw, cin, cout), jnp.float32, -lim, lim).astype(dtype),
+        "b": jax.random.uniform(k2, (cout,), jnp.float32, -lim, lim).astype(dtype),
+    }
+
+
+def _init_res(key, cin, cout, dtype) -> Params:
+    ks = jax.random.split(key, 3)
+    p = {
+        "norm1": {"gamma": jnp.ones((cin,), dtype)},
+        "conv1": _init_conv3d(ks[0], 3, 3, 3, cin, cout, dtype),
+        "norm2": {"gamma": jnp.ones((cout,), dtype)},
+        "conv2": _init_conv3d(ks[1], 3, 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["shortcut"] = _init_conv3d(ks[2], 1, 1, 1, cin, cout, dtype)
+    return p
+
+
+def _init_attn(key, dim, dtype) -> Params:
+    ks = jax.random.split(key, 2)
+    return {
+        "norm": {"gamma": jnp.ones((dim,), dtype)},
+        "to_qkv": {
+            "w": (jax.random.normal(ks[0], (dim, dim * 3), jnp.float32) * dim**-0.5).astype(dtype),
+            "b": jnp.zeros((dim * 3,), dtype),
+        },
+        "proj": {"w": jnp.zeros((dim, dim), dtype), "b": jnp.zeros((dim,), dtype)},
+    }
+
+
+def _init_resample(key, mode, dim, dtype) -> Params:
+    ks = jax.random.split(key, 2)
+    p = {}
+    if mode in ("upsample2d", "upsample3d"):
+        p["conv"] = _init_conv2d(ks[0], 3, 3, dim, dim // 2, dtype)
+        if mode == "upsample3d":
+            p["time_conv"] = _init_conv3d(ks[1], 3, 1, 1, dim, dim * 2, dtype)
+    elif mode in ("downsample2d", "downsample3d"):
+        p["conv"] = _init_conv2d(ks[0], 3, 3, dim, dim, dtype)
+        if mode == "downsample3d":
+            p["time_conv"] = _init_conv3d(ks[1], 3, 1, 1, dim, dim, dtype)
+    return p
+
+
+def init_vae_params(key, cfg: VAEConfig, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(key, 256))
+    enc_dims, enc_plan = _encoder_plan(cfg)
+    dec_dims, dec_plan = _decoder_plan(cfg)
+    z = cfg.z_dim
+
+    def stage_params(plan):
+        out = []
+        for spec in plan:
+            if spec[0] == "res":
+                out.append(_init_res(next(keys), spec[1], spec[2], dtype))
+            else:
+                out.append(_init_resample(next(keys), spec[1], spec[2], dtype))
+        return out
+
+    enc_out = enc_dims[-1]
+    dec_out = dec_dims[-1]
+    encoder = {
+        "conv1": _init_conv3d(next(keys), 3, 3, 3, 3, enc_dims[0], dtype),
+        "downsamples": stage_params(enc_plan),
+        "middle_res1": _init_res(next(keys), enc_out, enc_out, dtype),
+        "middle_attn": _init_attn(next(keys), enc_out, dtype),
+        "middle_res2": _init_res(next(keys), enc_out, enc_out, dtype),
+        "head_norm": {"gamma": jnp.ones((enc_out,), dtype)},
+        "head_conv": _init_conv3d(next(keys), 3, 3, 3, enc_out, z * 2, dtype),
+    }
+    decoder = {
+        "conv1": _init_conv3d(next(keys), 3, 3, 3, z, dec_dims[0], dtype),
+        "middle_res1": _init_res(next(keys), dec_dims[0], dec_dims[0], dtype),
+        "middle_attn": _init_attn(next(keys), dec_dims[0], dtype),
+        "middle_res2": _init_res(next(keys), dec_dims[0], dec_dims[0], dtype),
+        "upsamples": stage_params(dec_plan),
+        "head_norm": {"gamma": jnp.ones((dec_out,), dtype)},
+        "head_conv": _init_conv3d(next(keys), 3, 3, 3, dec_out, 3, dtype),
+    }
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        "conv1": _init_conv3d(next(keys), 1, 1, 1, z * 2, z * 2, dtype),  # vae.py:479
+        "conv2": _init_conv3d(next(keys), 1, 1, 1, z, z, dtype),  # vae.py:480
+    }
+
+
+def latent_scale(cfg: VAEConfig, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if cfg.z_dim == len(VAE_LATENT_MEAN):
+        mean = jnp.asarray(VAE_LATENT_MEAN, dtype)
+        std = jnp.asarray(VAE_LATENT_STD, dtype)
+    else:  # tiny test configs
+        mean = jnp.zeros((cfg.z_dim,), dtype)
+        std = jnp.ones((cfg.z_dim,), dtype)
+    return mean, std
+
+
+# ---------------------------------------------------------------------------
+# chunked drivers (the public VAE API)
+# ---------------------------------------------------------------------------
+
+
+def encode_chunks(
+    cfg: VAEConfig,
+    params: Params,
+    video: jnp.ndarray,  # [B, T, H, W, 3], T = 1 + 4k
+    cache: Optional[Cache] = None,
+    stream: bool = False,
+) -> Tuple[jnp.ndarray, Cache]:
+    """Chunked encode: 1,4,4,... fresh (vae.py:491-517) or 4,4,... streaming
+    (vae_block3.py:133-175). Returns normalised latents [B, Tz, h, w, z]."""
+    t = video.shape[1]
+    outs = []
+    if not stream:
+        z, cache = encoder_apply(cfg, params, video[:, :1], None, first=True)
+        outs.append(z)
+        rest = range(1, t, 4)
+    else:
+        assert cache is not None, "streaming encode needs a warm cache"
+        rest = range(0, t, 4)
+    for s in rest:
+        z, cache = encoder_apply(cfg, params, video[:, s : s + 4], cache, first=False)
+        outs.append(z)
+    out = jnp.concatenate(outs, axis=1)
+    mu, _log_var = jnp.split(conv3d(params["conv1"], out), 2, axis=-1)
+    mean, std = latent_scale(cfg, jnp.float32)
+    mu = (mu.astype(jnp.float32) - mean) / std
+    return mu.astype(video.dtype), cache
+
+
+def decode_chunks(
+    cfg: VAEConfig,
+    params: Params,
+    latents: jnp.ndarray,  # [B, Tz, h, w, z], normalised
+    cache: Optional[Cache] = None,
+    first: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, Cache]:
+    """Frame-by-frame decode (vae.py:519-567, vae_block3.py:195-230).
+
+    first=True (or cache=None): first-ever chunk of a stream — frame 0 skips
+    temporal upsampling (1 + 4*(Tz-1) output frames). Subsequent calls with the
+    returned cache produce 4*Tz frames.
+    """
+    if first is None:
+        first = cache is None
+    mean, std = latent_scale(cfg, jnp.float32)
+    z = latents.astype(jnp.float32) * std + mean
+    z = z.astype(latents.dtype)
+    x = conv3d(params["conv2"], z)
+    outs = []
+    for i in range(x.shape[1]):
+        frame = x[:, i : i + 1]
+        y, cache = decoder_apply(
+            cfg, params, frame, cache, first=first and i == 0
+        )
+        outs.append(y)
+    out = jnp.concatenate(outs, axis=1)
+    return jnp.clip(out.astype(jnp.float32), -1.0, 1.0), cache
+
+
+def encode_to_latent(cfg: VAEConfig, params: Params, pixels: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, 3, H, W] in [-1,1] -> [B, Tz, z, h, w] (WanVAEWrapper.encode_to_latent,
+    utils/wan_wrapper.py:79-93)."""
+    video = pixels.transpose(0, 1, 3, 4, 2)
+    z, _ = encode_chunks(cfg, params, video)
+    return z.transpose(0, 1, 4, 2, 3)
+
+
+def decode_to_pixel(cfg: VAEConfig, params: Params, latents: jnp.ndarray) -> jnp.ndarray:
+    """[B, Tz, z, h, w] -> [B, T, 3, H, W] in [-1,1] (wan_wrapper.py:95-118)."""
+    z = latents.transpose(0, 1, 3, 4, 2)
+    out, _ = decode_chunks(cfg, params, z, None, first=True)
+    return out.transpose(0, 1, 4, 2, 3)

@@ -1,0 +1,474 @@
+"""Block-causal Wan DiT — TPU-native functional implementation.
+
+Re-implements the behaviour of the reference `CausalWanModel`
+(wan/modules/causal_model.py:526-1173) and the bidirectional `WanModel`
+(wan/modules/model.py:309-500) as one pure-functional model:
+
+  * params are a pytree with transformer blocks stacked on a leading layer
+    axis; the forward pass is a single `lax.scan` over layers;
+  * the KV cache (ops/kv_cache.py) rides in the scan carry and is updated
+    with dynamic-update-slices — with donated buffers XLA compiles these to
+    in-place writes (the TPU replacement for the reference's mutable ring
+    buffers, causal_model.py:349-392);
+  * attention modes are static python switches: "decode" (KV-window),
+    "prefill" (blockwise-causal mask, writes cache — the recompute path,
+    release_server.py:588-633), "train" (mask only), "teacher_forcing"
+    (clean|noisy concat, causal_model.py:1060-1077);
+  * AdaLN modulation is per-frame ([B,F,6,C]) exactly as in
+    CausalWanAttentionBlock (causal_model.py:463-491).
+
+Numerics: params/activations bf16, norms in f32, RoPE in f32, time MLP in f32.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from realtime_video_tpu.config import WanModelConfig
+from realtime_video_tpu.models.rope import RopeTables, rope_apply, sinusoidal_embedding_1d
+from realtime_video_tpu.ops import attention as attn_ops
+from realtime_video_tpu.ops import kv_cache as kvc
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """WanRMSNorm (model.py:69-85): stats in f32, then * weight."""
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return n.astype(x.dtype) * p["scale"].astype(x.dtype)
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """WanLayerNorm (model.py:88-98): f32 stats, optional affine."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y.astype(x.dtype)
+    if scale is not None:
+        y = y * scale.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _per_frame(
+    x: jnp.ndarray, num_frames: int
+) -> jnp.ndarray:  # [B, L, D] -> [B, F, L/F, D]
+    b, L, d = x.shape
+    return x.reshape(b, num_frames, L // num_frames, d)
+
+
+def _flat(x: jnp.ndarray) -> jnp.ndarray:  # [B,F,l,D] -> [B,L,D]
+    b, f, l, d = x.shape
+    return x.reshape(b, f * l, d)
+
+
+def modulate(x: jnp.ndarray, num_frames: int, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame AdaLN: unflatten seq -> (F, fsl), x*(1+scale)+shift
+    (causal_model.py:471)."""
+    xf = _per_frame(x, num_frames)
+    y = xf * (1.0 + scale[:, :, None, :].astype(x.dtype)) + shift[:, :, None, :].astype(x.dtype)
+    return _flat(y)
+
+
+def gate(x: jnp.ndarray, num_frames: int, g: jnp.ndarray) -> jnp.ndarray:
+    xf = _per_frame(x, num_frames)
+    return _flat(xf * g[:, :, None, :].astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# parameter init / structure
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, d_in, d_out, dtype, init="xavier", bias=True) -> Params:
+    if init == "xavier":
+        lim = math.sqrt(6.0 / (d_in + d_out))
+        w = jax.random.uniform(key, (d_in, d_out), jnp.float32, -lim, lim)
+    elif init == "normal02":
+        w = jax.random.normal(key, (d_in, d_out), jnp.float32) * 0.02
+    elif init == "zeros":
+        w = jnp.zeros((d_in, d_out), jnp.float32)
+    else:
+        raise ValueError(init)
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_wan_params(
+    key: jax.Array, cfg: WanModelConfig, dtype=jnp.bfloat16
+) -> Params:
+    """Random init mirroring CausalWanModel.init_weights (causal_model.py:1151-1173)."""
+    d, ffn, nl = cfg.dim, cfg.ffn_dim, cfg.num_layers
+    pt, ph, pw = cfg.patch_size
+    keys = iter(jax.random.split(key, 64))
+
+    def block_params(k) -> Params:
+        ks = iter(jax.random.split(k, 16))
+        sa = {
+            "q": _init_linear(next(ks), d, d, dtype),
+            "k": _init_linear(next(ks), d, d, dtype),
+            "v": _init_linear(next(ks), d, d, dtype),
+            "o": _init_linear(next(ks), d, d, dtype),
+            "norm_q": {"scale": jnp.ones((d,), dtype)},
+            "norm_k": {"scale": jnp.ones((d,), dtype)},
+        }
+        ca = {
+            "q": _init_linear(next(ks), d, d, dtype),
+            "k": _init_linear(next(ks), d, d, dtype),
+            "v": _init_linear(next(ks), d, d, dtype),
+            "o": _init_linear(next(ks), d, d, dtype),
+            "norm_q": {"scale": jnp.ones((d,), dtype)},
+            "norm_k": {"scale": jnp.ones((d,), dtype)},
+        }
+        if cfg.model_type == "i2v":
+            ca["k_img"] = _init_linear(next(ks), d, d, dtype)
+            ca["v_img"] = _init_linear(next(ks), d, d, dtype)
+            ca["norm_k_img"] = {"scale": jnp.ones((d,), dtype)}
+        blk = {
+            "self_attn": sa,
+            "cross_attn": ca,
+            "ffn": {
+                "fc1": _init_linear(next(ks), d, ffn, dtype),
+                "fc2": _init_linear(next(ks), ffn, d, dtype),
+            },
+            "modulation": (
+                jax.random.normal(next(ks), (1, 6, d), jnp.float32) / d**0.5
+            ).astype(jnp.float32),
+        }
+        if cfg.cross_attn_norm:
+            blk["norm3"] = {
+                "scale": jnp.ones((d,), dtype),
+                "bias": jnp.zeros((d,), dtype),
+            }
+        return blk
+
+    blocks = [block_params(k) for k in jax.random.split(next(keys), nl)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+    params: Params = {
+        "patch_embedding": _init_linear(
+            next(keys), cfg.in_dim * pt * ph * pw, d, dtype
+        ),
+        "text_embedding": {
+            "fc1": _init_linear(next(keys), cfg.text_dim, d, dtype, "normal02"),
+            "fc2": _init_linear(next(keys), d, d, dtype, "normal02"),
+        },
+        "time_embedding": {
+            "fc1": _init_linear(next(keys), cfg.freq_dim, d, jnp.float32, "normal02"),
+            "fc2": _init_linear(next(keys), d, d, jnp.float32, "normal02"),
+        },
+        "time_projection": {
+            "fc": _init_linear(next(keys), d, 6 * d, jnp.float32)
+        },
+        "blocks": stacked,
+        "head": {
+            # zero-init output layer (causal_model.py:1173)
+            "head": _init_linear(
+                next(keys), d, math.prod(cfg.patch_size) * cfg.out_dim, dtype, "zeros"
+            ),
+            "modulation": (
+                jax.random.normal(next(keys), (1, 2, d), jnp.float32) / d**0.5
+            ),
+        },
+    }
+    if cfg.model_type == "i2v":
+        params["img_emb"] = {
+            "norm1": {"scale": jnp.ones((1280,), dtype), "bias": jnp.zeros((1280,), dtype)},
+            "fc1": _init_linear(next(keys), 1280, d, dtype),
+            "fc2": _init_linear(next(keys), d, d, dtype),
+            "norm2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+
+def patchify(cfg: WanModelConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """[B, F, C, H, W] latents -> [B, F*h*w, D] tokens.
+
+    patch (1,2,2) conv == reshape + matmul (MXU-friendly; replaces the Conv3d
+    patch_embedding, causal_model.py:614-615).
+    """
+    pt, ph, pw = cfg.patch_size
+    assert pt == 1, "temporal patch size must be 1 (Wan uses (1,2,2))"
+    b, f, c, H, W = x.shape
+    h, w = H // ph, W // pw
+    xt = x.reshape(b, f, c, h, ph, w, pw)
+    xt = xt.transpose(0, 1, 3, 5, 2, 4, 6)  # [B,f,h,w,C,ph,pw]
+    tokens = xt.reshape(b, f * h * w, c * ph * pw)
+    return linear(params["patch_embedding"], tokens)
+
+
+def unpatchify(
+    cfg: WanModelConfig, x: jnp.ndarray, grid: Tuple[int, int, int]
+) -> jnp.ndarray:
+    """[B, L, prod(patch)*out] -> [B, F, out, H, W] (causal_model.py:1126-1149)."""
+    f, h, w = grid
+    pt, ph, pw = cfg.patch_size
+    c = cfg.out_dim
+    b = x.shape[0]
+    y = x.reshape(b, f, h, w, pt, ph, pw, c)
+    y = y.transpose(0, 1, 4, 7, 2, 5, 3, 6)  # [B,f,pt,c,h,ph,w,pw]
+    return y.reshape(b, f * pt, c, h * ph, w * pw)
+
+
+def time_embeddings(
+    cfg: WanModelConfig, params: Params, t: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """t [B, F] -> (e [B,F,D] f32, e0 [B,F,6,D] f32) (causal_model.py:890-892)."""
+    b, f = t.shape
+    sin = sinusoidal_embedding_1d(cfg.freq_dim, t.reshape(-1))  # f32
+    te = params["time_embedding"]
+    e = linear(te["fc2"], jax.nn.silu(linear(te["fc1"], sin)))
+    e0 = linear(params["time_projection"]["fc"], jax.nn.silu(e))
+    return e.reshape(b, f, cfg.dim), e0.reshape(b, f, 6, cfg.dim)
+
+
+def text_embedding(cfg: WanModelConfig, params: Params, context: jnp.ndarray) -> jnp.ndarray:
+    """[B, 512, text_dim] -> [B, 512, D] (causal_model.py:616-618, 897-902)."""
+    te = params["text_embedding"]
+    return linear(te["fc2"], gelu_tanh(linear(te["fc1"], context)))
+
+
+def img_embedding(params: Params, clip_fea: jnp.ndarray) -> jnp.ndarray:
+    """MLPProj for i2v CLIP features (model.py:503-515)."""
+    p = params["img_emb"]
+    x = layer_norm(clip_fea, p["norm1"]["scale"], p["norm1"]["bias"])
+    x = gelu_tanh(linear(p["fc1"], x))
+    x = linear(p["fc2"], x)
+    return layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"])
+
+
+def compute_crossattn_cache(
+    cfg: WanModelConfig, params: Params, context: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Precompute per-layer text K/V [L,B,T,N,Dh] (the reference computes these
+    lazily on first forward, model.py:186-195; we do it once per prompt)."""
+    ctx = text_embedding(cfg, params, context)  # [B, T, D]
+    ca = params["blocks"]["cross_attn"]
+    b, T, _ = ctx.shape
+    n, dh = cfg.num_heads, cfg.head_dim
+
+    def kv_one(w_k, b_k, w_v, b_v, nk_scale):
+        k = jnp.dot(ctx, w_k.astype(ctx.dtype)) + b_k.astype(ctx.dtype)
+        k = rms_norm({"scale": nk_scale}, k)
+        v = jnp.dot(ctx, w_v.astype(ctx.dtype)) + b_v.astype(ctx.dtype)
+        return k.reshape(b, T, n, dh), v.reshape(b, T, n, dh)
+
+    k, v = jax.vmap(kv_one)(
+        ca["k"]["w"], ca["k"]["b"], ca["v"]["w"], ca["v"]["b"], ca["norm_k"]["scale"]
+    )
+    return {"k": k, "v": v}
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ForwardMode:
+    kind: str  # "decode" | "prefill" | "train"
+    rolling: bool = False  # rolling KV eviction (local-attn long-form path)
+
+
+def dit_forward(
+    cfg: WanModelConfig,
+    params: Params,
+    x: jnp.ndarray,  # [B, F, C, H, W]
+    t: jnp.ndarray,  # [B, F] float32 timesteps
+    rope_tables: RopeTables,
+    crossattn_cache: Dict[str, jnp.ndarray],
+    mode: str = "decode",
+    kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
+    current_start: jnp.ndarray | int = 0,
+    max_attention_size: Optional[int] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
+    sink_tokens: int = 0,
+    rolling: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """One transformer forward. Returns (flow_pred [B,F,C,H,W], new_kv_cache).
+
+    mode="decode": RoPE offset = current_start//fsl; append K/V to the cache at
+      the reference's local indices; attend over the window
+      [local_end - max_attention_size, local_end)   (causal_model.py:349-392).
+    mode="prefill": blockwise-causal mask over the input, K/V written at
+      [0, L); ends set to L (causal_model.py:305-348 + recompute path).
+    mode="train": mask-only, no cache (set attn_mask, kv_cache=None).
+    """
+    b, f, c, H, W = x.shape
+    pt, ph, pw = cfg.patch_size
+    grid = (f, H // ph, W // pw)
+    fsl = grid[1] * grid[2]
+    L = f * fsl
+    n, dh = cfg.num_heads, cfg.head_dim
+
+    tokens = patchify(cfg, params, x)  # [B, L, D]
+    e, e0 = time_embeddings(cfg, params, t)  # f32
+    e0 = e0.astype(jnp.float32)
+
+    current_start = jnp.asarray(current_start, jnp.int32)
+    if mode == "decode":
+        assert kv_cache is not None and max_attention_size is not None
+        cache_size = kv_cache["k"].shape[2]
+        start_frame = current_start // fsl
+        shift, write_start, new_global_end, new_local_end = kvc.plan_kv_update(
+            kv_cache, current_start, L, cache_size, sink_tokens, rolling
+        )
+        # static-size attention window ending at new_local_end
+        win = min(max_attention_size, cache_size)
+        win_start = jnp.clip(new_local_end - win, 0, cache_size - win)
+        dec_mask = attn_ops.decode_window_mask(
+            L, win, win_start, new_local_end, max_attention_size
+        )
+    elif mode == "prefill":
+        assert kv_cache is not None
+        start_frame = jnp.zeros((), jnp.int32)
+        write_start = jnp.zeros((), jnp.int32)
+        new_global_end = jnp.asarray(L, jnp.int32)
+        new_local_end = jnp.asarray(L, jnp.int32)
+        shift = jnp.zeros((), jnp.int32)
+        if attn_mask is None:
+            raise ValueError("prefill requires attn_mask")
+    elif mode == "train":
+        start_frame = jnp.zeros((), jnp.int32)
+        if attn_mask is None:
+            raise ValueError("train requires attn_mask")
+    else:
+        raise ValueError(mode)
+
+    mask_b = None
+    if attn_mask is not None:
+        mask_b = attn_mask[None, None]  # [1,1,Lq,Lk]
+
+    num_layers = cfg.num_layers
+    layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
+
+    def body(carry, xs):
+        xtok, ck_all, cv_all = carry
+        bp, cak, cav, lid = xs
+        # modulation: [1,6,D] broadcast-added to e0 [B,F,6,D] (causal_model.py:466)
+        em = bp["modulation"][None].astype(jnp.float32) + e0  # [B,F,6,D] via [1,1,6,D]
+        sh_msa, sc_msa, g_msa = em[:, :, 0], em[:, :, 1], em[:, :, 2]
+        sh_ffn, sc_ffn, g_ffn = em[:, :, 3], em[:, :, 4], em[:, :, 5]
+
+        # ---- self attention ----
+        xn = modulate(layer_norm(xtok, eps=cfg.eps), f, sh_msa, sc_msa)
+        sa = bp["self_attn"]
+        q = rms_norm(sa["norm_q"], linear(sa["q"], xn), eps=cfg.eps).reshape(b, L, n, dh)
+        k = rms_norm(sa["norm_k"], linear(sa["k"], xn), eps=cfg.eps).reshape(b, L, n, dh)
+        v = linear(sa["v"], xn).reshape(b, L, n, dh)
+        q = rope_apply(q, grid, rope_tables, start_frame)
+        k = rope_apply(k, grid, rope_tables, start_frame)
+
+        if mode == "train":
+            y = attn_ops.attention(q, k, v, mask=mask_b)
+        else:
+            if mode == "decode" and rolling:
+                ck_l = kvc.shift_layer_cache(ck_all[lid], shift, sink_tokens)
+                cv_l = kvc.shift_layer_cache(cv_all[lid], shift, sink_tokens)
+                ck_all = jax.lax.dynamic_update_slice(
+                    ck_all, ck_l[None], (lid, 0, 0, 0, 0)
+                )
+                cv_all = jax.lax.dynamic_update_slice(
+                    cv_all, cv_l[None], (lid, 0, 0, 0, 0)
+                )
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k.astype(ck_all.dtype)[None], (lid, 0, write_start, 0, 0)
+            )
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v.astype(cv_all.dtype)[None], (lid, 0, write_start, 0, 0)
+            )
+            if mode == "decode":
+                wk = jax.lax.dynamic_slice(
+                    ck_all, (lid, 0, win_start, 0, 0), (1, b, win, n, dh)
+                )[0]
+                wv = jax.lax.dynamic_slice(
+                    cv_all, (lid, 0, win_start, 0, 0), (1, b, win, n, dh)
+                )[0]
+                y = attn_ops.attention(q, wk.astype(q.dtype), wv.astype(q.dtype), mask=dec_mask)
+            else:  # prefill: attend over current tokens with blockwise mask
+                y = attn_ops.attention(q, k, v, mask=mask_b)
+
+        y = linear(sa["o"], y.reshape(b, L, cfg.dim))
+        xtok = xtok + gate(y, f, g_msa)
+
+        # ---- cross attention (t2v; cached text K/V) ----
+        ca = bp["cross_attn"]
+        if cfg.cross_attn_norm:
+            xc = layer_norm(xtok, bp["norm3"]["scale"], bp["norm3"]["bias"], eps=cfg.eps)
+        else:
+            xc = xtok
+        qc = rms_norm(ca["norm_q"], linear(ca["q"], xc), eps=cfg.eps).reshape(b, L, n, dh)
+        yc = attn_ops.attention(qc, cak.astype(qc.dtype), cav.astype(qc.dtype))
+        xtok = xtok + linear(ca["o"], yc.reshape(b, L, cfg.dim))
+
+        # ---- ffn ----
+        xf2 = modulate(layer_norm(xtok, eps=cfg.eps), f, sh_ffn, sc_ffn)
+        ff = bp["ffn"]
+        y = linear(ff["fc2"], gelu_tanh(linear(ff["fc1"], xf2)))
+        xtok = xtok + gate(y, f, g_ffn)
+        return (xtok, ck_all, cv_all), None
+
+    if kv_cache is not None:
+        carry0 = (tokens, kv_cache["k"], kv_cache["v"])
+    else:
+        dummy = jnp.zeros((num_layers, b, 1, n, dh), tokens.dtype)
+        carry0 = (tokens, dummy, dummy)
+
+    (tokens, new_k, new_v), _ = jax.lax.scan(
+        body,
+        carry0,
+        (params["blocks"], crossattn_cache["k"], crossattn_cache["v"], layer_ids),
+    )
+
+    # ---- head (CausalHead, causal_model.py:495-523) ----
+    hp = params["head"]
+    eh = hp["modulation"][None].astype(jnp.float32) + e[:, :, None, :]  # [B,F,2,D]
+    sh, sc = eh[:, :, 0], eh[:, :, 1]
+    yh = modulate(layer_norm(tokens, eps=cfg.eps), f, sh, sc)
+    out = linear(hp["head"], yh)
+    flow = unpatchify(cfg, out, grid)
+
+    new_cache = None
+    if kv_cache is not None:
+        new_cache = {
+            "k": new_k,
+            "v": new_v,
+            "global_end": new_global_end,
+            "local_end": new_local_end,
+        }
+    return flow, new_cache
