@@ -1,0 +1,138 @@
+"""Benchmark: sustained T2V fps at 832x480, 4 denoising steps (the reference's
+headline: 11 fps on a B200 with the 14B model, README.md:31).
+
+Runs the full serving hot path per block on real TPU hardware:
+  KV recompute/prefill + 4 denoise forwards + streaming VAE decode
+(release_server.py:635-736). Model size auto-selects to fit the attached chip
+(one v5e: 1.3B-dim model; a v5p-8 pod would run the 14B over the tp mesh).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "")  # real backend
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_video_tpu.config import (
+        VAE_CONFIGS,
+        WanModelConfig,
+        load_server_config,
+    )
+    from realtime_video_tpu.models import vae as vae_mod
+    from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
+    from realtime_video_tpu.models.vae_wrapper import VAEWrapper
+    from realtime_video_tpu.ops import kv_cache as kvc
+
+    dev = jax.devices()[0]
+    on_tpu = jax.default_backend() == "tpu"
+    tiny = os.getenv("RTV_BENCH_TINY", "0") in ("1", "true") or not on_tpu
+
+    if tiny:
+        cfg = WanModelConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2)
+        lat_h, lat_w = 8, 8
+        vae_cfg = VAE_CONFIGS["vae-tiny"]
+        vae_cfg = type(vae_cfg)(dim=8, z_dim=16, dim_mult=(1, 1, 2, 2), num_res_blocks=1)
+        num_blocks = 3
+    else:
+        # 1.3B dims — the largest Wan config that fits one v5e chip in bf16
+        cfg = WanModelConfig(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30)
+        lat_h, lat_w = 60, 104  # 480 x 832 pixels
+        vae_cfg = VAE_CONFIGS["wan2.1"]
+        num_blocks = int(os.getenv("RTV_BENCH_BLOCKS", "6"))
+
+    steps = (1000.0, 937.0, 833.0, 625.0)  # 4-step schedule (server config)
+    nfpb = 3
+    kv_frames = 3 + nfpb  # kv_cache_num_frames=3 + block
+    fsl = cfg.frame_seq_length(lat_h, lat_w)
+
+    gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0)
+    vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
+        jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16))
+
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, cfg.text_dim), jnp.bfloat16)
+    cross = gen.compute_crossattn_cache(gen.params, ctx)
+    cache_size = kv_frames * fsl
+    kv = kvc.init_kv_cache(cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim)
+    schedule = gen.schedule
+
+    def denoise_block(params, kv, cross, noisy, current_start, rng):
+        b, f = noisy.shape[:2]
+        x0 = noisy
+        for i, t in enumerate(steps):
+            tarr = jnp.full((b, f), t, jnp.float32)
+            _, x0, kv = gen.forward(
+                params, noisy, cross, tarr, kv_cache=kv,
+                current_start=current_start, mode="decode",
+                max_attention_size=cache_size,
+            )
+            if i < len(steps) - 1:
+                rng, sub = jax.random.split(rng)
+                noise = jax.random.normal(sub, x0.shape, jnp.float32).astype(x0.dtype)
+                noisy = schedule.add_noise(x0, noise, jnp.full((b, f), steps[i + 1], jnp.float32))
+        return x0, kv, rng
+
+    block_fn = jax.jit(denoise_block, donate_argnums=(1,))
+
+    from realtime_video_tpu.ops import attention as attn_ops
+    from realtime_video_tpu.models import wan_dit
+
+    pre_mask = attn_ops.blockwise_causal_mask(kv_frames - nfpb, fsl, nfpb)
+
+    def prefill(params, kv, cross, latents):
+        tarr = jnp.zeros(latents.shape[:2], jnp.float32)
+        _, new_kv = wan_dit.dit_forward(
+            gen.cfg, params, latents, tarr, gen.rope, cross,
+            mode="prefill", kv_cache=kv, attn_mask=pre_mask,
+        )
+        return new_kv
+
+    prefill_fn = jax.jit(prefill, donate_argnums=(1,))
+
+    rng = jax.random.PRNGKey(0)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (1, nfpb, 16, lat_h, lat_w), jnp.bfloat16
+    )
+    ctx_frames = jax.random.normal(
+        jax.random.PRNGKey(4), (1, kv_frames - nfpb, 16, lat_h, lat_w), jnp.bfloat16
+    )
+
+    # warmup / compile
+    kv = prefill_fn(gen.params, kv, cross, ctx_frames)
+    x0, kv, rng = block_fn(gen.params, kv, cross, noise, (kv_frames - nfpb) * fsl, rng)
+    px, vcache = vae.decode_block(x0.astype(jnp.bfloat16))
+    jax.block_until_ready(px)
+
+    # timed: steady-state blocks (recompute-prefill + denoise + decode)
+    frames_out = 0
+    t0 = time.perf_counter()
+    for blk in range(num_blocks):
+        kv = prefill_fn(gen.params, kvc.reset_kv_cache(kv), cross, ctx_frames)
+        x0, kv, rng = block_fn(
+            gen.params, kv, cross, noise, (kv_frames - nfpb) * fsl, rng
+        )
+        px, vcache = vae.decode_block(x0.astype(jnp.bfloat16), vcache)
+        jax.block_until_ready(px)
+        frames_out += px.shape[1]
+    dt = time.perf_counter() - t0
+    fps = frames_out / dt
+
+    label = "tiny" if tiny else "1.3b"
+    print(json.dumps({
+        "metric": f"t2v_fps_832x480_4step_{label}_{jax.default_backend()}",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 11.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Diffusion model wrapper (reference: utils/wan_wrapper.py:121-323
+WanDiffusionWrapper) — unifies causal/bidirectional DiTs behind one forward
+that returns (flow_pred, pred_x0) and owns the flow-matching schedule.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from realtime_video_tpu.config import WanModelConfig, WAN_CONFIGS
+from realtime_video_tpu.models import wan_dit
+from realtime_video_tpu.models.rope import RopeTables
+from realtime_video_tpu.scheduler import FlowMatchSchedule
+
+Params = Dict[str, Any]
+
+
+class WanDiffusion:
+    """Holds (cfg, params, schedule, rope). All compute methods are pure and
+    jit-friendly; jit happens at the pipeline level around whole-block steps.
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[WanModelConfig] = None,
+        params: Optional[Params] = None,
+        model_name: str = "t2v-1.3B",
+        timestep_shift: float = 5.0,
+        is_causal: bool = True,
+        checkpoint_path: Optional[str] = None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        if params is None and checkpoint_path and os.path.exists(checkpoint_path):
+            from realtime_video_tpu.utils.checkpoint import load_wan_dit
+
+            cfg, params = load_wan_dit(checkpoint_path, dtype)
+        if cfg is None:
+            cfg = WAN_CONFIGS[model_name]
+        if params is None:
+            params = wan_dit.init_wan_params(jax.random.PRNGKey(seed), cfg, dtype)
+        self.cfg = cfg
+        self.params = params
+        self.is_causal = is_causal
+        # non-causal models share one timestep across frames (wan_wrapper.py:145)
+        self.uniform_timestep = not is_causal
+        self.schedule = FlowMatchSchedule.create(
+            shift=timestep_shift, sigma_min=0.0, extra_one_step=True
+        )
+        self.rope = RopeTables.create(cfg.head_dim)
+        self.seq_len = 32760  # max tokens (wan_wrapper.py:153)
+
+    # -- pure compute ------------------------------------------------------
+
+    def compute_crossattn_cache(
+        self, params: Params, prompt_embeds: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        return wan_dit.compute_crossattn_cache(self.cfg, params, prompt_embeds)
+
+    def forward(
+        self,
+        params: Params,
+        noisy: jnp.ndarray,  # [B, F, C, H, W]
+        crossattn_cache: Dict[str, jnp.ndarray],
+        timestep: jnp.ndarray,  # [B, F]
+        kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
+        current_start: jnp.ndarray | int = 0,
+        mode: str = "decode",
+        max_attention_size: Optional[int] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        rolling: bool = False,
+        sink_tokens: int = 0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+        """Returns (flow_pred, pred_x0, new_kv_cache) — mirrors
+        WanDiffusionWrapper.forward (wan_wrapper.py:230-301)."""
+        t = timestep.astype(jnp.float32)
+        if max_attention_size is None:
+            fsl = self.cfg.frame_seq_length(noisy.shape[-2], noisy.shape[-1])
+            max_attention_size = self.cfg.max_attention_size(fsl)
+        flow, new_kv = wan_dit.dit_forward(
+            self.cfg,
+            params,
+            noisy,
+            t,
+            self.rope,
+            crossattn_cache,
+            mode=mode,
+            kv_cache=kv_cache,
+            current_start=current_start,
+            max_attention_size=max_attention_size,
+            attn_mask=attn_mask,
+            rolling=rolling,
+            sink_tokens=sink_tokens,
+        )
+        x0 = self.schedule.flow_to_x0(flow, noisy, t)
+        return flow, x0, new_kv

@@ -443,14 +443,14 @@ def encode_chunks(
     t = video.shape[1]
     outs = []
     if not stream:
-        z, cache = encoder_apply(cfg, params, video[:, :1], None, first=True)
+        z, cache = encoder_apply(cfg, params["encoder"], video[:, :1], None, first=True)
         outs.append(z)
         rest = range(1, t, 4)
     else:
         assert cache is not None, "streaming encode needs a warm cache"
         rest = range(0, t, 4)
     for s in rest:
-        z, cache = encoder_apply(cfg, params, video[:, s : s + 4], cache, first=False)
+        z, cache = encoder_apply(cfg, params["encoder"], video[:, s : s + 4], cache, first=False)
         outs.append(z)
     out = jnp.concatenate(outs, axis=1)
     mu, _log_var = jnp.split(conv3d(params["conv1"], out), 2, axis=-1)
@@ -482,7 +482,7 @@ def decode_chunks(
     for i in range(x.shape[1]):
         frame = x[:, i : i + 1]
         y, cache = decoder_apply(
-            cfg, params, frame, cache, first=first and i == 0
+            cfg, params["decoder"], frame, cache, first=first and i == 0
         )
         outs.append(y)
     out = jnp.concatenate(outs, axis=1)

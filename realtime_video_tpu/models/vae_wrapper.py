@@ -1,0 +1,105 @@
+"""VAE wrapper classes with jitted streaming entry points.
+
+Replaces the reference's three wrappers with one pair:
+  * `VAEWrapper.encode_to_latent / decode_to_pixel` — batch API
+    (utils/wan_wrapper.py:58-118 WanVAEWrapper);
+  * `VAEWrapper.decode_block / encode_stream` — streaming API with explicit
+    cache pytrees (demo_utils/vae_block3.py VAEDecoderWrapper/VAEEncoderWrapper,
+    the ones the server hot loop uses).
+
+Layouts: public API uses the pipeline convention [B, T, C, H, W]; pixels in
+[-1, 1].
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from realtime_video_tpu.config import VAEConfig, VAE_CONFIGS, MODEL_FOLDER
+from realtime_video_tpu.models import vae as vae_mod
+
+Params = Dict[str, Any]
+
+
+class VAEWrapper:
+    def __init__(
+        self,
+        cfg: Optional[VAEConfig] = None,
+        params: Optional[Params] = None,
+        checkpoint_path: Optional[str] = None,
+        dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        if params is None and checkpoint_path and os.path.exists(checkpoint_path):
+            from realtime_video_tpu.utils.checkpoint import load_vae
+
+            cfg, params = load_vae(checkpoint_path, cfg, dtype)
+        if cfg is None:
+            cfg = VAE_CONFIGS["wan2.1"]
+        if params is None:
+            params = vae_mod.init_vae_params(jax.random.PRNGKey(seed), cfg, dtype)
+        self.cfg = cfg
+        self.params = params
+
+        c = self.cfg
+        self._decode_first = jax.jit(
+            lambda p, z: vae_mod.decode_chunks(c, p, z, None, first=True)
+        )
+        self._decode_rest = jax.jit(
+            lambda p, z, cache: vae_mod.decode_chunks(c, p, z, cache, first=False)
+        )
+        self._encode_fresh = jax.jit(
+            lambda p, v: vae_mod.encode_chunks(c, p, v, None, stream=False)
+        )
+        self._encode_stream = jax.jit(
+            lambda p, v, cache: vae_mod.encode_chunks(c, p, v, cache, stream=True)
+        )
+
+    @classmethod
+    def from_model_folder(cls, dtype=jnp.float32) -> "VAEWrapper":
+        ckpt = os.path.join(MODEL_FOLDER, "Wan2.1-T2V-1.3B", "Wan2.1_VAE.pth")
+        return cls(checkpoint_path=ckpt if os.path.exists(ckpt) else None, dtype=dtype)
+
+    # -- batch API ----------------------------------------------------------
+
+    def encode_to_latent(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """[B,T,C,H,W] in [-1,1] -> [B,Tz,z,h,w] normalised latents."""
+        video = pixels.transpose(0, 1, 3, 4, 2)
+        z, _ = self._encode_fresh(self.params, video)
+        return z.transpose(0, 1, 4, 2, 3)
+
+    def decode_to_pixel(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """[B,Tz,z,h,w] -> [B,T,3,H,W] in [-1,1]."""
+        z = latents.transpose(0, 1, 3, 4, 2)
+        out, _ = self._decode_first(self.params, z)
+        return out.transpose(0, 1, 4, 2, 3)
+
+    # -- streaming API (server hot loop) -------------------------------------
+
+    def decode_block(
+        self, latents: jnp.ndarray, cache: Optional[Tuple] = None
+    ) -> Tuple[jnp.ndarray, Tuple]:
+        """[B,Tz,z,h,w] + cache -> ([B,T,3,H,W], cache). First call (cache=None)
+        yields 1+4(Tz-1) frames, subsequent calls 4*Tz (vae_block3.py:195-230)."""
+        z = latents.transpose(0, 1, 3, 4, 2)
+        if cache is None:
+            out, cache = self._decode_first(self.params, z)
+        else:
+            out, cache = self._decode_rest(self.params, z, cache)
+        return out.transpose(0, 1, 4, 2, 3), cache
+
+    def encode_stream(
+        self, pixels: jnp.ndarray, cache: Optional[Tuple] = None
+    ) -> Tuple[jnp.ndarray, Tuple]:
+        """[B,T,C,H,W] + cache -> ([B,Tz,z,h,w], cache). cache=None expects
+        T=1+4k (fresh 1,4,4,... chunking); warm cache expects T=4k
+        (vae_block3.py:133-175)."""
+        video = pixels.transpose(0, 1, 3, 4, 2)
+        if cache is None:
+            z, cache = self._encode_fresh(self.params, video)
+        else:
+            z, cache = self._encode_stream(self.params, video, cache)
+        return z.transpose(0, 1, 4, 2, 3), cache

@@ -1,0 +1,58 @@
+"""Sharded training step: dp over batch (DCN), tp over heads/FFN (ICI).
+
+Replaces the reference's FSDP training scaffold (utils/distributed.py,
+wan/distributed/fsdp.py) with declarative shardings — grads reduce over "dp"
+automatically because the loss averages over the dp-sharded batch axis.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
+from realtime_video_tpu.parallel.sharding import shard_wan_params, wan_param_pspecs
+from realtime_video_tpu.training.losses import causal_flow_matching_loss
+
+
+def make_train_state(
+    gen: WanDiffusion, mesh: Mesh, learning_rate: float = 1e-5, weight_decay: float = 0.01
+):
+    """(sharded params, optimizer, sharded opt state)."""
+    params = shard_wan_params(gen.params, mesh)
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    opt_state = tx.init(params)  # inherits param shardings leaf-wise
+    return params, tx, opt_state
+
+
+def make_train_step(
+    gen: WanDiffusion,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    num_frame_per_block: int = 3,
+):
+    data_sharding = NamedSharding(mesh, P("dp"))
+
+    def step(params, opt_state, latents, prompt_embeds, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: causal_flow_matching_loss(
+                gen, p, latents, prompt_embeds, rng,
+                num_frame_per_block=num_frame_per_block,
+            ),
+            has_aux=True,
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, latents, prompt_embeds, rng):
+        latents = jax.device_put(latents, data_sharding)
+        prompt_embeds = jax.device_put(prompt_embeds, data_sharding)
+        return jitted(params, opt_state, latents, prompt_embeds, rng)
+
+    return run

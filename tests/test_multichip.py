@@ -1,0 +1,74 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Mesh-of-1 vs mesh-of-N equality is the TPU analogue of the reference's
+(nonexistent) distributed tests — XLA makes fake multi-node trivial
+(SURVEY §4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_video_tpu.config import WanModelConfig
+from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
+from realtime_video_tpu.ops import kv_cache as kvc
+from realtime_video_tpu.parallel.mesh import make_mesh
+from realtime_video_tpu.parallel.sharding import shard_kv_cache, shard_wan_params
+
+CFG = WanModelConfig(dim=64, ffn_dim=128, num_heads=4, num_layers=2)
+F, C, H, W = 3, 16, 8, 8
+FSL = 16
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return WanDiffusion(cfg=CFG, dtype=jnp.float32)
+
+
+def _run(gen, params, kv, cross, x, t):
+    _, x0, new_kv = gen.forward(
+        params, x, cross, t, kv_cache=kv, current_start=0,
+        mode="decode", max_attention_size=2 * F * FSL,
+    )
+    return x0, new_kv
+
+
+def test_tp_sharded_forward_matches_single_device(gen):
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 16, CFG.text_dim), jnp.float32)
+    cross = gen.compute_crossattn_cache(gen.params, ctx)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, F, C, H, W), jnp.float32)
+    t = jnp.full((1, F), 500.0, jnp.float32)
+    kv = kvc.init_kv_cache(CFG.num_layers, 1, 2 * F * FSL, CFG.num_heads, CFG.head_dim, jnp.float32)
+
+    ref_x0, _ = jax.jit(lambda p, k: _run(gen, p, k, cross, x, t))(gen.params, kv)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    sp = shard_wan_params(gen.params, mesh)
+    skv = shard_kv_cache(kv, mesh)
+    got_x0, new_kv = jax.jit(lambda p, k: _run(gen, p, k, cross, x, t))(sp, skv)
+
+    np.testing.assert_allclose(
+        np.asarray(got_x0), np.asarray(ref_x0), rtol=1e-4, atol=1e-4
+    )
+    # cache stays head-sharded
+    assert "tp" in str(new_kv["k"].sharding)
+
+
+def test_sharded_training_step_runs():
+    from realtime_video_tpu.training.train_step import make_train_state, make_train_step
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    g = WanDiffusion(cfg=CFG, dtype=jnp.float32)
+    params, tx, opt_state = make_train_state(g, mesh)
+    step = make_train_step(g, tx, mesh, num_frame_per_block=3)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16, 8, 8), jnp.float32)
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 16, CFG.text_dim), jnp.float32)
+    params, opt_state, metrics = step(params, opt_state, latents, embeds, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

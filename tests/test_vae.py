@@ -1,0 +1,75 @@
+"""Causal 3D VAE: streaming-cache consistency properties.
+
+Golden property (no reference weights needed): decoding/encoding a clip in
+streaming chunks with threaded conv caches must equal one pass over the full
+clip — this is exactly what the reference's feat_cache machinery guarantees
+(wan/modules/vae.py:491-567, demo_utils/vae_block3.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_video_tpu.config import VAE_CONFIGS
+from realtime_video_tpu.models import vae
+
+CFG = VAE_CONFIGS["vae-tiny"]
+
+
+@pytest.fixture(scope="module")
+def params():
+    return vae.init_vae_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_encode_shapes_temporal_law(params):
+    """1 + 4k pixel frames -> 1 + k latents; /8 spatial (vae.py:491-517)."""
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, 9, 32, 32, 3))
+    z, _ = vae.encode_chunks(CFG, params, video)
+    assert z.shape == (1, 3, 4, 4, CFG.z_dim)
+
+
+def test_decode_shapes_temporal_law(params):
+    """n latents decode to 1 + 4(n-1) frames on a fresh cache, then 4n per
+    streaming block (release_server.py:722-723 relies on this)."""
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 4, 4, CFG.z_dim)) * 0.1
+    px, cache = vae.decode_chunks(CFG, params, z, None, first=True)
+    assert px.shape == (1, 9, 32, 32, 3)
+    z2 = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 4, 4, CFG.z_dim)) * 0.1
+    px2, cache = vae.decode_chunks(CFG, params, z2, cache, first=False)
+    assert px2.shape == (1, 12, 32, 32, 3)
+
+
+def test_streaming_decode_equals_full_decode(params):
+    """Block-by-block decode with persistent cache == decoding all latents in
+    one call (both chunk internally frame-by-frame; cache must round-trip)."""
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, 6, 4, 4, CFG.z_dim)) * 0.1
+    full, _ = vae.decode_chunks(CFG, params, z, None, first=True)
+
+    px0, cache = vae.decode_chunks(CFG, params, z[:, :3], None, first=True)
+    px1, cache = vae.decode_chunks(CFG, params, z[:, 3:], cache, first=False)
+    seq = jnp.concatenate([px0, px1], axis=1)
+    assert seq.shape == full.shape
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(full), rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_encode_equals_full_encode(params):
+    """Webcam-style streaming encode (4-frame chunks against a warm cache) ==
+    one full encode (vae_block3.py:133-175 semantics)."""
+    video = jax.random.normal(jax.random.PRNGKey(5), (1, 17, 32, 32, 3))
+    full, _ = vae.encode_chunks(CFG, params, video)
+
+    z0, cache = vae.encode_chunks(CFG, params, video[:, :9])  # 1+4+4 fresh
+    z1, cache = vae.encode_chunks(CFG, params, video[:, 9:], cache, stream=True)
+    seq = jnp.concatenate([z0, z1], axis=1)
+    assert seq.shape == full.shape
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(full), rtol=1e-4, atol=1e-4)
+
+
+def test_encode_decode_roundtrip_finite(params):
+    video = jax.random.normal(jax.random.PRNGKey(6), (1, 5, 32, 32, 3))
+    z = vae.encode_to_latent(CFG, params, video.transpose(0, 1, 4, 2, 3))
+    assert z.shape == (1, 2, CFG.z_dim, 4, 4)
+    px = vae.decode_to_pixel(CFG, params, z)
+    assert px.shape == (1, 5, 3, 32, 32)
+    assert np.isfinite(np.asarray(px)).all()
+    assert np.abs(np.asarray(px)).max() <= 1.0
