@@ -351,9 +351,9 @@ def dit_forward(
         # static-size attention window ending at new_local_end
         win = min(max_attention_size, cache_size)
         win_start = jnp.clip(new_local_end - win, 0, cache_size - win)
-        dec_mask = attn_ops.decode_window_mask(
-            L, win, win_start, new_local_end, max_attention_size
-        )
+        # valid kv positions relative to the window slice
+        dec_lo = jnp.maximum(new_local_end - max_attention_size, 0) - win_start
+        dec_hi = new_local_end - win_start
     elif mode == "prefill":
         assert kv_cache is not None
         start_frame = jnp.zeros((), jnp.int32)
@@ -419,7 +419,9 @@ def dit_forward(
                 wv = jax.lax.dynamic_slice(
                     cv_all, (lid, 0, win_start, 0, 0), (1, b, win, n, dh)
                 )[0]
-                y = attn_ops.attention(q, wk.astype(q.dtype), wv.astype(q.dtype), mask=dec_mask)
+                y = attn_ops.decode_attention(
+                    q, wk.astype(q.dtype), wv.astype(q.dtype), dec_lo, dec_hi
+                )
             else:  # prefill: attend over current tokens with blockwise mask
                 y = attn_ops.attention(q, k, v, mask=mask_b)
 

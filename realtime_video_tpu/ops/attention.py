@@ -160,6 +160,29 @@ def teacher_forcing_mask(
     return clean_mask | noise_mask | (q_idx == kv_idx)
 
 
+def decode_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cache-window decode attention: q attends to k/v positions in [lo, hi)
+    (causal_model.py:386-390). Pallas flash kernel on TPU, masked XLA fallback
+    elsewhere."""
+    if _use_pallas():
+        try:
+            from realtime_video_tpu.ops import pallas_attention
+
+            return pallas_attention.decode_attention(q, k, v, lo, hi)
+        except Exception:  # pragma: no cover
+            pass
+    num_kv = k.shape[1]
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, num_kv), 1)
+    valid = (kv_pos >= lo) & (kv_pos < hi)
+    return xla_attention(q, k, v, mask=valid[None, None, :, :])
+
+
 def decode_window_mask(
     num_q: int,
     num_kv: int,

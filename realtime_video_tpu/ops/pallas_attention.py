@@ -1,0 +1,230 @@
+"""Pallas TPU flash attention for the block-causal decode/prefill hot paths.
+
+One kernel replaces the reference's four attention backends (FlashAttention-2/3,
+SageAttention, FlexAttention — wan/modules/attention.py, sage.py,
+causal_model.py:298-392): an online-softmax flash kernel whose mask is
+computed in-kernel from scalar bounds instead of dense mask tensors:
+
+  * decode mode: queries attend to KV-buffer positions in [lo, hi)
+    (the rolling-cache window, causal_model.py:386-390);
+  * prefill mode: blockwise-causal — kv < ends[q] with
+    ends[q] = (q // block_tokens + 1) * block_tokens, optional local window
+    (get_block_mask semantics, causal_model.py:108-141).
+
+Grid is (B, N, Q_blocks, KV_blocks) with KV innermost; running max/sum/acc
+live in VMEM scratch across the KV sweep; fully-masked KV tiles are skipped.
+Inputs are padded to tile multiples by the wrappers; scalar bounds keep the
+pad out of the softmax.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+BQ = 256
+BK = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(
+    # scalar prefetch: [lo, hi, block_tokens, local_window] int32
+    bounds_ref,
+    q_ref,  # [1, BQ, 1, D]
+    k_ref,  # [1, BK, 1, D]
+    v_ref,  # [1, BK, 1, D]
+    o_ref,  # [1, BQ, 1, D]
+    m_scr,  # [BQ, 1] f32
+    l_scr,  # [BQ, 1] f32
+    acc_scr,  # [BQ, D] f32
+    *,
+    scale: float,
+    mode: str,  # "window" | "block_causal"
+    kv_len: int,
+):
+    ki = pl.program_id(3)
+    qi = pl.program_id(2)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    lo = bounds_ref[0]
+    hi = bounds_ref[1]
+    block_tokens = bounds_ref[2]
+    local_window = bounds_ref[3]
+
+    kv_base = ki * BK
+    q_base = qi * BQ
+
+    if mode == "window":
+        # any overlap between [kv_base, kv_base+BK) and [lo, hi)?
+        live = (kv_base < hi) & (kv_base + BK > lo)
+    else:
+        # block-causal: max end over this q tile is
+        # ((q_base+BQ-1)//bt + 1) * bt; min start is max(0, end_min - window)
+        q_last = q_base + BQ - 1
+        end_max = (q_last // block_tokens + 1) * block_tokens
+        end_min = (q_base // block_tokens + 1) * block_tokens
+        lo_min = jnp.maximum(end_min - local_window, 0)
+        live = (kv_base < end_max) & (kv_base + BK > lo_min)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, :, 0, :]
+        k = k_ref[0, :, 0, :]
+        v = v_ref[0, :, 0, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BQ, BK]
+
+        kv_pos = kv_base + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        if mode == "window":
+            valid = (kv_pos >= lo) & (kv_pos < hi)
+        else:
+            q_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+            ends = (q_pos // block_tokens + 1) * block_tokens
+            valid = (kv_pos < ends) & (kv_pos >= ends - local_window)
+            valid = valid | (q_pos == kv_pos)
+        valid = valid & (kv_pos < kv_len)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[...], 1e-20)
+        o_ref[0, :, 0, :] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def _flash_call(
+    q: jnp.ndarray,  # [B, Lq, N, D] (padded to BQ)
+    k: jnp.ndarray,  # [B, Lk, N, D] (padded to BK)
+    v: jnp.ndarray,
+    bounds: jnp.ndarray,  # [4] int32
+    scale: float,
+    mode: str,
+    kv_len: int,
+) -> jnp.ndarray:
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    grid = (b, n, lq // BQ, lk // BK)
+    kernel = functools.partial(_flash_kernel, scale=scale, mode=mode, kv_len=kv_len)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BQ, 1, d), lambda b_, n_, qi, ki, bounds: (b_, qi, n_, 0)),
+                pl.BlockSpec((1, BK, 1, d), lambda b_, n_, qi, ki, bounds: (b_, ki, n_, 0)),
+                pl.BlockSpec((1, BK, 1, d), lambda b_, n_, qi, ki, bounds: (b_, ki, n_, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, BQ, 1, d), lambda b_, n_, qi, ki, bounds: (b_, qi, n_, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BQ, 1), jnp.float32),
+                pltpu.VMEM((BQ, 1), jnp.float32),
+                pltpu.VMEM((BQ, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(bounds, q, k, v)
+
+
+def _pad_seq(x: jnp.ndarray, mult: int) -> jnp.ndarray:
+    L = x.shape[1]
+    pad = _round_up(L, mult) - L
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return x
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Window attention over a KV buffer slice: attend to positions [lo, hi).
+
+    q [B,Lq,N,D], k/v [B,Lk,N,D]; lo/hi are traced int32 scalars relative to
+    the k/v buffer indexing.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    Lq, Lk = q.shape[1], k.shape[1]
+    qp = _pad_seq(q, BQ)
+    kp = _pad_seq(k, BK)
+    vp = _pad_seq(v, BK)
+    bounds = jnp.stack(
+        [jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32),
+         jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32)]
+    )
+    out = _flash_call(qp, kp, vp, bounds, scale, "window", Lk)
+    return out[:, :Lq]
+
+
+def prefill_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_tokens: int,
+    local_window: Optional[int] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Blockwise-causal self attention: kv < ends[q], optional local window."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    Lq, Lk = q.shape[1], k.shape[1]
+    if local_window is None:
+        local_window = 1 << 30
+    qp = _pad_seq(q, BQ)
+    kp = _pad_seq(k, BK)
+    vp = _pad_seq(v, BK)
+    bounds = jnp.stack(
+        [jnp.zeros((), jnp.int32), jnp.asarray(Lk, jnp.int32),
+         jnp.asarray(block_tokens, jnp.int32), jnp.asarray(local_window, jnp.int32)]
+    )
+    out = _flash_call(qp, kp, vp, bounds, scale, "block_causal", Lk)
+    return out[:, :Lq]
+
+
+def flash_attention(q, k, v, mask=None, scale=None):
+    """Generic entry used by ops.attention.attention() — only takes the fast
+    path when no dense mask is given (cross-attention); masked variants go
+    through the specialised entries above."""
+    if mask is not None:
+        raise NotImplementedError("dense-mask path stays on XLA")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    Lk = k.shape[1]
+    return decode_attention(
+        q, k, v, jnp.zeros((), jnp.int32), jnp.asarray(Lk, jnp.int32), scale
+    )

@@ -1,0 +1,149 @@
+"""Many-step block-causal sampling with CFG and dual KV caches.
+
+Mirrors the reference `CausalDiffusionInferencePipeline`
+(pipeline/causal_diffusion_inference.py): separate positive/negative KV caches
+(:270-298), UniPC or DPM++ solver re-initialised per block (:196-233,
+:321-341), cond+uncond generator calls per step (:205-221), clean-context
+cache refresh after each block (:239-255).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from realtime_video_tpu.config import SAMPLE_NEG_PROMPT
+from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
+from realtime_video_tpu.ops import kv_cache as kvc
+from realtime_video_tpu.solvers import FlowDPMSolverMultistep, FlowUniPCMultistep
+
+
+class CausalDiffusionInferencePipeline:
+    def __init__(self, config, generator: WanDiffusion, text_encoder=None, vae=None):
+        self.generator = generator
+        self.text_encoder = text_encoder
+        self.vae = vae
+        self.args = config
+        self.num_frame_per_block = config.get("num_frame_per_block", 1)
+        self.guidance_scale = float(config.get("guidance_scale", 5.0))
+        self.sample_solver = config.get("sample_solver", "unipc")
+        self.sampling_steps = int(config.get("sampling_steps", 50))
+        self.shift = float(config.get("timestep_shift", 5.0))
+        self.context_noise = float(config.get("context_noise", 0))
+        self.local_attn_size = generator.cfg.local_attn_size
+        self.kv_cache_pos = None
+        self.kv_cache_neg = None
+        self._fwd = jax.jit(self._forward_impl, static_argnames=("max_attn",),
+                            donate_argnums=(1,))
+
+    # one decode-mode forward that also updates the given cache
+    def _forward_impl(self, params, kv, cross, noisy, t, current_start, *, max_attn):
+        flow, _, kv = self.generator.forward(
+            params, noisy, cross, t, kv_cache=kv, current_start=current_start,
+            mode="decode", max_attention_size=max_attn,
+        )
+        return flow, kv
+
+    def _init_solver(self):
+        if self.sample_solver == "unipc":
+            solver = FlowUniPCMultistep(shift=self.shift)
+        elif self.sample_solver in ("dpm++", "dpm-solver", "dpm"):
+            solver = FlowDPMSolverMultistep(shift=self.shift)
+        else:
+            raise NotImplementedError(f"Unsupported solver {self.sample_solver}")
+        solver.set_timesteps(self.sampling_steps, shift=self.shift)
+        return solver
+
+    def _init_caches(self, batch_size, fsl, dtype):
+        cfg = self.generator.cfg
+        size = (
+            self.local_attn_size * fsl if self.local_attn_size != -1 else 21 * fsl
+        )
+        mk = lambda: kvc.init_kv_cache(  # noqa: E731
+            cfg.num_layers, batch_size, size, cfg.num_heads, cfg.head_dim, dtype
+        )
+        self.kv_cache_pos, self.kv_cache_neg = mk(), mk()
+
+    def inference(
+        self,
+        noise: jnp.ndarray,  # [B, F, C, h, w]
+        text_prompts: Optional[List[str]] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        neg_prompt_embeds: Optional[jnp.ndarray] = None,
+        initial_latent: Optional[jnp.ndarray] = None,
+        return_latents: bool = False,
+    ):
+        b, num_frames, c, h, w = noise.shape
+        assert num_frames % self.num_frame_per_block == 0
+        num_blocks = num_frames // self.num_frame_per_block
+        fsl = self.generator.cfg.frame_seq_length(h, w)
+        max_attn = self.generator.cfg.max_attention_size(fsl)
+
+        if prompt_embeds is None:
+            prompt_embeds = self.text_encoder(text_prompts)["prompt_embeds"]
+        if neg_prompt_embeds is None:
+            if self.text_encoder is not None:
+                neg_prompt_embeds = self.text_encoder([SAMPLE_NEG_PROMPT] * b)[
+                    "prompt_embeds"
+                ]
+            else:
+                neg_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        cross_pos = self.generator.compute_crossattn_cache(
+            self.generator.params, prompt_embeds.astype(jnp.bfloat16)
+        )
+        cross_neg = self.generator.compute_crossattn_cache(
+            self.generator.params, neg_prompt_embeds.astype(jnp.bfloat16)
+        )
+        self._init_caches(b, fsl, noise.dtype)
+
+        outputs = []
+        current_start_frame = 0
+        if initial_latent is not None:
+            # prefill both caches with the clean context at t=0
+            t0 = jnp.zeros((b, initial_latent.shape[1]), jnp.float32)
+            _, self.kv_cache_pos = self._fwd(
+                self.generator.params, self.kv_cache_pos, cross_pos,
+                initial_latent, t0, 0, max_attn=max_attn)
+            _, self.kv_cache_neg = self._fwd(
+                self.generator.params, self.kv_cache_neg, cross_neg,
+                initial_latent, t0, 0, max_attn=max_attn)
+            outputs.append(initial_latent)
+            current_start_frame = initial_latent.shape[1]
+
+        for _ in range(num_blocks):
+            lo = current_start_frame - (initial_latent.shape[1] if initial_latent is not None else 0)
+            latent = noise[:, lo : lo + self.num_frame_per_block]
+            solver = self._init_solver()
+            for ti, t_val in enumerate(solver.timesteps):
+                t = jnp.full((b, self.num_frame_per_block), float(t_val), jnp.float32)
+                flow_c, self.kv_cache_pos = self._fwd(
+                    self.generator.params, self.kv_cache_pos, cross_pos,
+                    latent, t, current_start_frame * fsl, max_attn=max_attn)
+                flow_u, self.kv_cache_neg = self._fwd(
+                    self.generator.params, self.kv_cache_neg, cross_neg,
+                    latent, t, current_start_frame * fsl, max_attn=max_attn)
+                flow = flow_u + self.guidance_scale * (flow_c - flow_u)
+                latent = solver.step(flow, float(t_val), latent)
+            outputs.append(latent)
+
+            # clean-context cache refresh (causal_diffusion_inference.py:239-255)
+            t_ctx = jnp.full(
+                (b, self.num_frame_per_block), self.context_noise, jnp.float32
+            )
+            _, self.kv_cache_pos = self._fwd(
+                self.generator.params, self.kv_cache_pos, cross_pos,
+                latent, t_ctx, current_start_frame * fsl, max_attn=max_attn)
+            _, self.kv_cache_neg = self._fwd(
+                self.generator.params, self.kv_cache_neg, cross_neg,
+                latent, t_ctx, current_start_frame * fsl, max_attn=max_attn)
+            current_start_frame += self.num_frame_per_block
+
+        latents = jnp.concatenate(outputs, axis=1)
+        video = None
+        if self.vae is not None:
+            video = self.vae.decode_to_pixel(latents)
+            video = jnp.clip(video * 0.5 + 0.5, 0.0, 1.0)
+        if return_latents:
+            return video, latents
+        return video

@@ -1,0 +1,473 @@
+"""Per-connection generation state machine.
+
+Mirrors the reference `GenerationSession` (release_server.py:344-751):
+per-block KV-cache recomputation with first-frame anti-drift re-encode,
+strength-scaled denoising schedules, v2v / webcam ingest, prompt-embedding
+interpolation, streaming VAE decode with frame callbacks, resume latents and
+start-frame conditioning.
+
+TPU notes: the per-block hot loop is two jitted dispatches (prefill + fused
+denoise loop) plus one jitted VAE decode; the PRNG key is threaded explicitly;
+device->host transfer is started asynchronously before the JPEG pool runs.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from collections import deque
+from functools import lru_cache
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_video_tpu.models import wan_dit
+from realtime_video_tpu.ops import attention as attn_ops
+from realtime_video_tpu.ops import kv_cache as kvc
+from realtime_video_tpu.scheduler import FlowMatchSchedule, get_denoising_schedule
+from realtime_video_tpu.serving.params import GenerateParams
+from realtime_video_tpu.serving.video_io import load_video_as_rgb, resample_array
+from realtime_video_tpu.utils.misc import AtomicCounter
+
+log = logging.getLogger(__name__)
+
+
+def encode_video_latent(
+    vae,
+    encode_vae_cache,
+    resample_to: Optional[int] = 16,
+    max_frames: Optional[int] = 81,
+    video_path_or_url: Optional[str] = None,
+    frames: Optional[np.ndarray] = None,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    stream: bool = False,
+):
+    """Pixel frames -> normalised latents (reference v2v.py:138-158).
+
+    frames: [T, 3, H, W] in [-1, 1]. Returns ([Tz, z, h, w], cache).
+    """
+    vae_stride = (4, 8, 8)
+    if frames is None:
+        frames = load_video_as_rgb(video_path_or_url, resample_to=resample_to,
+                                   resample_frame_count_threshold=33)
+    frames = jnp.asarray(frames)
+    if frames.ndim == 3:
+        frames = frames[None]
+    h = height if height is not None else frames.shape[2]
+    w = width if width is not None else frames.shape[3]
+    if max_frames is None:
+        max_frames = 1 + ((frames.shape[0] - 1) // 4) * 4
+    if max_frames:
+        frames = frames[:max_frames]
+    h = h // vae_stride[1] * vae_stride[1]
+    w = w // vae_stride[2] * vae_stride[2]
+    frames = jax.image.resize(
+        frames, (frames.shape[0], frames.shape[1], h, w), method="bicubic"
+    ).astype(jnp.bfloat16)
+    latents, cache = vae.encode_stream(
+        frames[None], encode_vae_cache if stream else None
+    )
+    return latents[0], cache
+
+
+class GenerationSession:
+    SESSION_COUNTER = AtomicCounter()
+
+    def __init__(
+        self,
+        params: GenerateParams,
+        config,
+        debug: bool = False,
+        frame_callback: Optional[Callable] = None,
+        models=None,
+    ):
+        self.current_use_taehv = config.get("use_taehv", False)
+        self.frame_callback = frame_callback or (
+            lambda *a, **k: log.warning("No frame callback set!")
+        )
+        self.session_id = self.SESSION_COUNTER.increment()
+        self.frame_queue: "queue.Queue" = queue.Queue()
+        self.block_idx = 0
+        self.params = params
+        self.config = config
+        self.debug = debug
+        self.models = models
+
+        self.input_video = params.input_video
+        if self.input_video is None and not params.webcam_mode:
+            self.params.strength = 1.0
+        self.start_frame = params.start_frame
+
+        self.width = params.width // 8 * 8
+        self.height = params.height // 8 * 8
+        self.latent_width = self.width // 8
+        self.latent_height = self.height // 8
+        self.resume_latents: Optional[jnp.ndarray] = None
+        self.last_frame_latent = None
+
+        self.interpolated_prompt_embeds: List[jnp.ndarray] = []
+        self.current_prompt_embeds: Optional[jnp.ndarray] = None
+        self.conditional_dict: Dict[str, jnp.ndarray] = {}
+
+        self.context_noise = params.context_noise
+        self.kv_cache_num_frames = params.kv_cache_num_frames
+        self.g_num_blocks = self.num_blocks = params.num_blocks
+
+        frame_cache_len = 1 + (params.kv_cache_num_frames - 1) * 4
+        self.frame_context_cache: deque = deque(maxlen=frame_cache_len)
+
+        self.encode_vae_cache = None
+        self.decode_vae_cache = None
+        self.num_frame_per_block = 3
+
+        if self.params.seed is None:
+            self.params.seed = 0
+        self.rng = jax.random.PRNGKey(self.params.seed)
+
+        num_latent_frames = self.num_blocks * self.num_frame_per_block
+        latent_shape = (1, num_latent_frames, 16, self.latent_height, self.latent_width)
+        self.all_latents = jnp.zeros(latent_shape, jnp.bfloat16)
+        self.rng, sub = jax.random.split(self.rng)
+        self.noise = jax.random.normal(sub, latent_shape, jnp.float32).astype(jnp.bfloat16)
+
+        self.current_start_frame = 0
+        self.total_frames_sent = 0
+        self.disposed = threading.Event()
+
+        self.init_models(models, self.params)
+
+        self.denoising_step_list = get_denoising_schedule(
+            self.zero_padded_timesteps, self.params.strength,
+            steps=self.params.num_denoising_steps,
+        )
+        log.info("denoising step list: %s", self.denoising_step_list)
+
+        if self.input_video is not None:
+            init_strength = float(self.denoising_step_list[0]) / 1000.0
+            latents, _ = self.encode_v2v(self.input_video, None, None)
+            latents = latents[None].astype(self.noise.dtype)  # [1, Tz, z, h, w]
+            self.rng, sub = jax.random.split(self.rng)
+            noise = jax.random.normal(sub, latents.shape, jnp.float32).astype(latents.dtype)
+            n = min(latents.shape[1], self.noise.shape[1])
+            mixed = latents[:, :n] * (1.0 - init_strength) + noise[:, :n] * init_strength
+            self.noise = self.noise.at[:, :n].set(mixed) if n < self.noise.shape[1] else mixed
+            actual_num_blocks = latents.shape[1] // self.num_frame_per_block - 1
+            self.num_blocks = min(actual_num_blocks, self.params.num_blocks)
+        if self.params.start_frame is not None:
+            self.setup_start_frame(self.params.start_frame, models)
+
+        self.last_pred: Optional[jnp.ndarray] = None
+
+    # ------------------------------------------------------------------
+
+    def dispose(self):
+        self.disposed.set()
+
+    @property
+    def frame_seq_length(self) -> int:
+        return self.models.transformer.cfg.frame_seq_length(
+            self.latent_height, self.latent_width
+        )
+
+    def init_models(self, models, params: GenerateParams):
+        """Per-session pipeline re-config (release_server.py:542-561): local
+        attention window = kv frames + block, fresh caches, shifted schedule."""
+        pipeline = models.pipeline
+        pipeline.local_attn_size = params.kv_cache_num_frames + pipeline.num_frame_per_block
+        self.num_frame_per_block = pipeline.num_frame_per_block
+        fsl = self.frame_seq_length
+        pipeline._initialize_kv_cache(1, fsl, jnp.bfloat16)
+        self.schedule = FlowMatchSchedule.create(
+            shift=params.timestep_shift, sigma_min=0.0, extra_one_step=True
+        )
+        pipeline.schedule = self.schedule
+        self.zero_padded_timesteps = np.asarray(self.schedule.zero_padded_timesteps())
+
+    # -- jitted step builders (session-level: window differs per session) ----
+
+    def _max_attn(self) -> int:
+        # serving attends over the whole (kv_frames + block) cache
+        return (self.kv_cache_num_frames + self.num_frame_per_block) * self.frame_seq_length
+
+    @lru_cache(maxsize=8)
+    def _prefill_fn(self, num_ctx_frames: int):
+        gen = self.models.transformer
+        fsl = self.frame_seq_length
+        mask = attn_ops.blockwise_causal_mask(
+            num_ctx_frames, fsl, self.num_frame_per_block
+        )
+
+        def fn(params, kv, cross, latents):
+            t = jnp.zeros(latents.shape[:2], jnp.float32)
+            _, new_kv = wan_dit.dit_forward(
+                gen.cfg, params, latents, t, gen.rope, cross,
+                mode="prefill", kv_cache=kv, attn_mask=mask,
+            )
+            return new_kv
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    @lru_cache(maxsize=8)
+    def _denoise_fn(self, steps: Tuple[float, ...]):
+        gen = self.models.transformer
+        schedule = self.schedule
+        max_attn = self._max_attn()
+
+        def fn(params, kv, cross, noisy, current_start, rng):
+            b, f = noisy.shape[:2]
+            x0 = noisy
+            for i, t in enumerate(steps):
+                tarr = jnp.full((b, f), t, jnp.float32)
+                _, x0, kv = gen.forward(
+                    params, noisy, cross, tarr, kv_cache=kv,
+                    current_start=current_start, mode="decode",
+                    max_attention_size=max_attn,
+                )
+                if i < len(steps) - 1:
+                    rng, sub = jax.random.split(rng)
+                    nz = jax.random.normal(sub, x0.shape, jnp.float32).astype(x0.dtype)
+                    noisy = schedule.add_noise(
+                        x0, nz, jnp.full((b, f), steps[i + 1], jnp.float32)
+                    )
+            return x0, kv, rng
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+
+    def interpolate_prompt_embeds(self, models, new_prompt: str, interpolation_steps: int):
+        """Lerp old->new embeds over N blocks (release_server.py:459-468)."""
+        if self.current_prompt_embeds is None:
+            return
+        p1 = self.current_prompt_embeds
+        p2 = models.text_encoder(text_prompts=[new_prompt])["prompt_embeds"].astype(
+            jnp.bfloat16
+        )
+        ws = jnp.linspace(0.0, 1.0, interpolation_steps)[:, None, None]
+        x = p1[0][None] * (1 - ws) + p2[0][None] * ws  # [steps, T, D]
+        self.interpolated_prompt_embeds = [x[i][None] for i in range(interpolation_steps)]
+
+    def push_frame(self, frame, denoising_strength=None, request_id=None):
+        """Webcam/v2v frame push (release_server.py:470-487)."""
+        try:
+            if denoising_strength is not None:
+                self.params.strength = denoising_strength
+            if isinstance(frame, str):
+                import base64
+
+                if frame.startswith("data:"):
+                    frame = frame[frame.index(",") + 1:]
+                frame = base64.b64decode(frame)
+            from io import BytesIO
+
+            from PIL import Image
+
+            image = Image.open(BytesIO(frame)).convert("RGB")
+            arr = np.asarray(image, np.float32).transpose(2, 0, 1) / 255.0
+            arr = (arr - 0.5) * 2.0  # [3, H, W] in [-1, 1]
+            self.frame_queue.put((arr, request_id))
+        except Exception as e:  # noqa: BLE001
+            log.exception("Killing from push_frame: %s", e)
+            self.dispose()
+
+    def process_webcam_frames(self, models, idx: int):
+        """Drain >=9/12 frames, resample, stream-encode
+        (release_server.py:489-527)."""
+        num_frames_to_encode = 9 if idx == 0 else 12
+        while self.frame_queue.qsize() < num_frames_to_encode:
+            if self.disposed.is_set():
+                return None
+            time.sleep(0.01)
+        frame_list = []
+        while not self.frame_queue.empty():
+            try:
+                frame_list.append(self.frame_queue.get_nowait()[0])
+            except queue.Empty:
+                break
+        if len(frame_list) < num_frames_to_encode:
+            return None
+        frames = np.stack(resample_array(frame_list, num_frames_to_encode))
+        latents, self.encode_vae_cache = encode_video_latent(
+            models.vae_encoder,
+            self.encode_vae_cache,
+            frames=frames,
+            height=self.params.height,
+            width=self.params.width,
+            stream=idx > 0,
+        )
+        return latents
+
+    @lru_cache(maxsize=32)
+    def encode_v2v(self, video_path_or_url: str, max_frames=None, resample_to=None):
+        return encode_video_latent(
+            self.models.vae_encoder, None,
+            video_path_or_url=video_path_or_url,
+            height=self.params.height, width=self.params.width,
+            stream=False, max_frames=max_frames, resample_to=resample_to,
+        )
+
+    def setup_start_frame(self, image, models):
+        """Replicate a single conditioning image into a latent context
+        (release_server.py:578-586)."""
+        num_context_frames = self.params.kv_cache_num_frames
+        frame_cache_len = 1 + (num_context_frames - 1) * 4
+        if isinstance(image, (bytes, str)):
+            from io import BytesIO
+
+            from PIL import Image
+
+            if isinstance(image, str):
+                image = Image.open(image).convert("RGB")
+            else:
+                image = Image.open(BytesIO(image)).convert("RGB")
+        arr = np.asarray(image, np.float32).transpose(2, 0, 1) / 255.0
+        arr = (arr - 0.5) * 2.0
+        frames = np.stack([arr] * frame_cache_len)
+        latents, _ = encode_video_latent(
+            models.vae_encoder, None, resample_to=16, max_frames=81,
+            frames=frames, height=self.params.height,
+            width=self.params.width, stream=False,
+        )
+        self.resume_latents = latents[None]  # [1, kv, z, h, w]
+
+    def get_clean_context_frames(self, models) -> jnp.ndarray:
+        """First-frame + last (k-1) context latents, with anti-drift pixel
+        re-encode of frame 0 after warmup (release_server.py:563-576)."""
+        k = self.kv_cache_num_frames or self.params.kv_cache_num_frames
+        ctx = self.all_latents[:, : self.current_start_frame]
+        warmup = (self.block_idx - 1) * self.num_frame_per_block < k
+        if self.params.keep_first_frame or warmup:
+            if k == 1:
+                return ctx[:, :1]
+            return jnp.concatenate([ctx[:, :1], ctx[:, 1:][:, -(k - 1):]], axis=1)
+        tail = ctx[:, 1:][:, -(k - 1):]
+        first_pixels = np.asarray(self.frame_context_cache[0][0], np.float32)  # [3,H,W]
+        first_latent, _ = encode_video_latent(
+            models.vae_encoder, None, resample_to=16, max_frames=81,
+            frames=first_pixels[None], height=self.params.height,
+            width=self.params.width, stream=False,
+        )
+        return jnp.concatenate(
+            [first_latent[None].astype(self.all_latents.dtype), tail], axis=1
+        )
+
+    def recompute_kv_cache(self, models) -> Optional[int]:
+        """Zero + re-prefill the KV cache from clean context
+        (release_server.py:588-633)."""
+        pipeline = models.pipeline
+        if self.block_idx == 0:
+            pipeline._initialize_kv_cache(1, self.frame_seq_length, jnp.bfloat16)
+            if self.resume_latents is not None:
+                self.current_start_frame = self.resume_latents.shape[1]
+                self.all_latents = self.all_latents.at[
+                    :, : self.current_start_frame
+                ].set(self.resume_latents.astype(self.all_latents.dtype))
+            else:
+                return self.current_start_frame
+
+        k = self.params.kv_cache_num_frames
+        model_input_start_frame = min(self.current_start_frame, k)
+        clean_context = self.get_clean_context_frames(models)
+        pipeline._initialize_kv_cache(1, self.frame_seq_length, jnp.bfloat16)
+        prefill = self._prefill_fn(clean_context.shape[1])
+        pipeline.kv_cache = prefill(
+            models.transformer.params, pipeline.kv_cache,
+            pipeline.crossattn_cache, clean_context,
+        )
+        return model_input_start_frame
+
+    # ------------------------------------------------------------------
+
+    def generate_block_internal(self, models):
+        """The per-block hot loop (release_server.py:635-736)."""
+        idx = self.block_idx
+        if idx >= self.num_blocks:
+            return None
+
+        if self.current_prompt_embeds is None:
+            cond = models.text_encoder(text_prompts=[self.params.prompt])
+            self.conditional_dict = {
+                k: v.astype(jnp.bfloat16) for k, v in cond.items()
+            }
+            self.current_prompt_embeds = self.conditional_dict["prompt_embeds"]
+            models.pipeline._initialize_crossattn_cache(self.current_prompt_embeds)
+
+        model_input_start_frame = self.recompute_kv_cache(models)
+        assert model_input_start_frame is not None
+        frame_ids: List[Optional[str]] = []
+
+        if self.params.webcam_mode:
+            latents = self.process_webcam_frames(models, idx)
+            if latents is None:
+                return None
+            strength = float(self.denoising_step_list[0]) / 1000.0
+            latents = latents[None].astype(self.noise.dtype)
+            if latents.ndim == 6:
+                latents = latents[0]
+            self.rng, sub = jax.random.split(self.rng)
+            nz = jax.random.normal(sub, latents.shape, jnp.float32).astype(latents.dtype)
+            noisy_input = latents * (1.0 - strength) + nz * strength
+        else:
+            noisy_input = self.noise[
+                :, self.current_start_frame : self.current_start_frame + self.num_frame_per_block
+            ]
+
+        if self.interpolated_prompt_embeds:
+            next_emb = self.interpolated_prompt_embeds.pop(0)
+            self.current_prompt_embeds = next_emb.astype(jnp.bfloat16)
+            models.pipeline._initialize_crossattn_cache(self.current_prompt_embeds)
+
+        steps = tuple(float(t) for t in self.denoising_step_list)
+        denoise = self._denoise_fn(steps)
+        x0, models.pipeline.kv_cache, self.rng = denoise(
+            models.transformer.params, models.pipeline.kv_cache,
+            models.pipeline.crossattn_cache, noisy_input,
+            model_input_start_frame * self.frame_seq_length, self.rng,
+        )
+
+        self.all_latents = self.all_latents.at[
+            :, self.current_start_frame : self.current_start_frame + self.num_frame_per_block
+        ].set(x0)
+        self.last_pred = x0
+
+        pixels, self.decode_vae_cache = models.vae_decoder.decode_block(
+            x0.astype(jnp.bfloat16), self.decode_vae_cache
+        )
+        # keep raw pixel frames for first-frame re-encode (anti-drift)
+        for fi in range(pixels.shape[1]):
+            self.frame_context_cache.append(pixels[:, fi])
+        if idx == 0:
+            pixels = pixels[:, 3:]  # drop first 3 frames of first block
+
+        self.most_recent_frame = pixels[:, -1:]
+        # start async device->host transfer before handing to the JPEG pool
+        try:
+            pixels.copy_to_host_async()
+        except Exception:  # noqa: BLE001
+            pass
+        self.frame_callback(pixels, frame_ids, None)
+
+        self.current_start_frame += self.num_frame_per_block
+        self.total_frames_sent += pixels.shape[1]
+        self.block_idx += 1
+        self.resume_latents = None
+        return pixels
+
+    def generate_block(self, models):
+        out = self.generate_block_internal(models)
+        if out is None:
+            import asyncio
+
+            raise asyncio.CancelledError()
+        return out
+
+    def generate_blocks(self, num_blocks: int, models):
+        for _ in range(num_blocks):
+            self.generate_block(models)
+
+    def __hash__(self):
+        return id(self)

@@ -1,0 +1,56 @@
+"""Pallas flash attention vs the XLA oracle (interpret mode on CPU; the same
+kernel runs compiled on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from realtime_video_tpu.ops import attention as attn_ops
+from realtime_video_tpu.ops import pallas_attention as pat
+
+
+def _rand(shape, key):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("lo,hi", [(0, 700), (100, 512), (0, 1024)])
+def test_decode_window_matches_xla(lo, hi):
+    b, lq, lk, n, d = 1, 200, 1024, 2, 128
+    q, k, v = _rand((b, lq, n, d), 0), _rand((b, lk, n, d), 1), _rand((b, lk, n, d), 2)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lk), 1)
+    mask = ((kv_pos >= lo) & (kv_pos < hi))[None, None]
+    want = attn_ops.xla_attention(q, k, v, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = pat.decode_attention(
+            q, k, v, jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32)
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_prefill_block_causal_matches_xla():
+    b, n, d = 1, 2, 128
+    frame_seqlen, nfpb, frames = 64, 3, 6
+    L = frames * frame_seqlen
+    q, k, v = _rand((b, L, n, d), 3), _rand((b, L, n, d), 4), _rand((b, L, n, d), 5)
+    mask = attn_ops.blockwise_causal_mask(frames, frame_seqlen, nfpb)[None, None]
+    want = attn_ops.xla_attention(q, k, v, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = pat.prefill_attention(q, k, v, block_tokens=frame_seqlen * nfpb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_unpadded_1560_token_frames():
+    """Real serving shapes are not 128-aligned (fsl=1560) — padding must not
+    leak into the softmax."""
+    b, n, d = 1, 2, 64
+    lq, lk = 312, 936  # 1560-style non-aligned lengths (scaled down)
+    q, k, v = _rand((b, lq, n, d), 6), _rand((b, lk, n, d), 7), _rand((b, lk, n, d), 8)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lk), 1)
+    mask = ((kv_pos >= 0) & (kv_pos < 936))[None, None]
+    want = attn_ops.xla_attention(q, k, v, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = pat.decode_attention(
+            q, k, v, jnp.zeros((), jnp.int32), jnp.asarray(936, jnp.int32)
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)

@@ -1,0 +1,81 @@
+"""CFG / many-step / bidirectional pipelines on tiny models (CPU).
+
+Mirrors pipeline/causal_diffusion_inference.py, bidirectional_*.py semantics.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_video_tpu.config import WanModelConfig, load_server_config
+from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
+from realtime_video_tpu.pipelines import (
+    BidirectionalDiffusionInferencePipeline,
+    BidirectionalInferencePipeline,
+    CausalDiffusionInferencePipeline,
+)
+
+WAN_TINY = WanModelConfig(dim=64, ffn_dim=128, num_heads=2, num_layers=2)
+H = W = 4
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return WanDiffusion(cfg=WAN_TINY, dtype=jnp.float32)
+
+
+def _embeds(key=3, b=1):
+    return jax.random.normal(
+        jax.random.PRNGKey(key), (b, 16, WAN_TINY.text_dim), jnp.float32
+    )
+
+
+def test_causal_diffusion_cfg(gen):
+    config = load_server_config(
+        num_frame_per_block=3, guidance_scale=3.0,
+        sample_solver="unipc", sampling_steps=4,
+    )
+    pipe = CausalDiffusionInferencePipeline(config, gen)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 16, H, W), jnp.float32)
+    _, latents = pipe.inference(
+        noise, prompt_embeds=_embeds(), neg_prompt_embeds=_embeds(9),
+        return_latents=True,
+    )
+    assert latents.shape == (1, 6, 16, H, W)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_causal_diffusion_dpm_solver(gen):
+    config = load_server_config(
+        num_frame_per_block=3, guidance_scale=2.0,
+        sample_solver="dpm++", sampling_steps=3,
+    )
+    pipe = CausalDiffusionInferencePipeline(config, gen)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, H, W), jnp.float32)
+    _, latents = pipe.inference(
+        noise, prompt_embeds=_embeds(), neg_prompt_embeds=_embeds(9),
+        return_latents=True,
+    )
+    assert latents.shape == (1, 3, 16, H, W)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_bidirectional_diffusion(gen):
+    config = load_server_config(guidance_scale=3.0, sampling_steps=3)
+    pipe = BidirectionalDiffusionInferencePipeline(config, gen)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 16, H, W), jnp.float32)
+    _, latents = pipe.inference(
+        noise, prompt_embeds=_embeds(), neg_prompt_embeds=_embeds(9),
+        return_latents=True,
+    )
+    assert latents.shape == (1, 3, 16, H, W)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_bidirectional_fewstep(gen):
+    config = load_server_config(denoising_step_list=[1000, 500])
+    pipe = BidirectionalInferencePipeline(config, gen)
+    noise = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 16, H, W), jnp.float32)
+    _, latents = pipe.inference(noise, prompt_embeds=_embeds(), return_latents=True)
+    assert latents.shape == (1, 3, 16, H, W)
+    assert np.isfinite(np.asarray(latents)).all()

@@ -1,0 +1,131 @@
+"""GenerationSession end-to-end on tiny models: the serving hot loop —
+per-block KV recompute, denoise, streaming VAE decode, frame callbacks,
+prompt interpolation (release_server.py:344-751 semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_video_tpu.config import (
+    VAEConfig,
+    WanModelConfig,
+    load_server_config,
+)
+from realtime_video_tpu.models import vae as vae_mod
+from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
+from realtime_video_tpu.models.vae_wrapper import VAEWrapper
+from realtime_video_tpu.pipelines import CausalInferencePipeline
+from realtime_video_tpu.serving.models import Models
+from realtime_video_tpu.serving.params import GenerateParams
+from realtime_video_tpu.serving.session import GenerationSession
+
+WAN_TINY = WanModelConfig(dim=64, ffn_dim=128, num_heads=2, num_layers=2)
+VAE_TINY = VAEConfig(dim=8, z_dim=16, dim_mult=(1, 1, 2, 2), num_res_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def models():
+    config = load_server_config(
+        denoising_step_list=[1000, 750, 500], num_frame_per_block=3
+    )
+    gen = WanDiffusion(cfg=WAN_TINY, dtype=jnp.bfloat16)
+    vae = VAEWrapper(
+        cfg=VAE_TINY,
+        params=vae_mod.init_vae_params(jax.random.PRNGKey(7), VAE_TINY, jnp.bfloat16),
+    )
+    class PromptHashEncoder:
+        """Prompt-sensitive fake encoder (unlike StaticTextEncoder, needed for
+        interpolation tests)."""
+
+        def __call__(self, text_prompts):
+            key = jax.random.PRNGKey(abs(hash(text_prompts[0])) % (2**31))
+            return {
+                "prompt_embeds": jax.random.normal(
+                    key, (1, 64, WAN_TINY.text_dim), jnp.bfloat16
+                )
+            }
+
+    te = PromptHashEncoder()
+    pipeline = CausalInferencePipeline(config, gen, text_encoder=te, vae=vae)
+    return Models(te, gen, pipeline, vae, vae), config
+
+
+def _params(**kw):
+    base = dict(
+        prompt="a cat", width=64, height=64, seed=3,
+        kv_cache_num_frames=3, num_blocks=3, num_denoising_steps=3,
+    )
+    base.update(kw)
+    return GenerateParams(**base)
+
+
+def test_session_generates_blocks_with_streaming_decode(models):
+    m, config = models
+    frames_per_block = []
+
+    def cb(pixels, frame_ids, event):
+        frames_per_block.append(np.asarray(pixels, np.float32))
+
+    s = GenerationSession(_params(), config, frame_callback=cb, models=m)
+    assert s.num_blocks == 3
+    for _ in range(3):
+        s.generate_block(m)
+    # block 0: 9 decoded, 3 dropped -> 6; blocks 1,2: 12 each
+    assert [f.shape[1] for f in frames_per_block] == [6, 12, 12]
+    h = w = 64
+    assert all(f.shape[2:] == (3, h, w) for f in frames_per_block)
+    assert all(np.isfinite(f).all() for f in frames_per_block)
+    # all_latents got filled
+    assert float(jnp.abs(s.all_latents).sum()) > 0
+    # completion: next block raises CancelledError via generate_block
+    import asyncio
+
+    with pytest.raises(asyncio.CancelledError):
+        s.generate_block(m)
+
+
+def test_session_determinism(models):
+    m, config = models
+    outs = []
+    for _ in range(2):
+        acc = []
+        s = GenerationSession(
+            _params(seed=11), config,
+            frame_callback=lambda p, i, e: acc.append(np.asarray(p, np.float32)),
+            models=m,
+        )
+        s.generate_block(m)
+        outs.append(acc[0])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-3, atol=1e-3)
+
+
+def test_prompt_interpolation(models):
+    m, config = models
+    s = GenerationSession(_params(), config, frame_callback=lambda *a: None, models=m)
+    s.generate_block(m)
+    before = s.current_prompt_embeds
+    s.interpolate_prompt_embeds(m, "a dog on a skateboard", 2)
+    assert len(s.interpolated_prompt_embeds) == 2
+    # linspace(0,1,2) -> first interpolated embed is the OLD prompt (weight 0),
+    # second is the new one (release_server.py:463-468)
+    s.generate_block(m)
+    assert len(s.interpolated_prompt_embeds) == 1
+    s.generate_block(m)
+    assert len(s.interpolated_prompt_embeds) == 0
+    assert not np.allclose(
+        np.asarray(before, np.float32),
+        np.asarray(s.current_prompt_embeds, np.float32),
+    )
+
+
+def test_anti_drift_first_frame_reencode(models):
+    """Block 2+ with keep_first_frame=False triggers the pixel re-encode path
+    (release_server.py:571-575)."""
+    m, config = models
+    s = GenerationSession(
+        _params(num_blocks=3, keep_first_frame=False), config,
+        frame_callback=lambda *a: None, models=m,
+    )
+    for _ in range(3):
+        s.generate_block(m)
+    assert s.block_idx == 3
