@@ -38,10 +38,10 @@ def _round_up(x: int, m: int) -> int:
 def _flash_kernel(
     # scalar prefetch: [lo, hi, block_tokens, local_window] int32
     bounds_ref,
-    q_ref,  # [1, BQ, 1, D]
-    k_ref,  # [1, BK, 1, D]
-    v_ref,  # [1, BK, 1, D]
-    o_ref,  # [1, BQ, 1, D]
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BK, D]
+    v_ref,  # [1, 1, BK, D]
+    o_ref,  # [1, 1, BQ, D]
     m_scr,  # [BQ, 1] f32
     l_scr,  # [BQ, 1] f32
     acc_scr,  # [BQ, D] f32
@@ -82,9 +82,9 @@ def _flash_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, :, 0, :]
-        k = k_ref[0, :, 0, :]
-        v = v_ref[0, :, 0, :]
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [BQ, BK]
@@ -114,20 +114,20 @@ def _flash_kernel(
     @pl.when(ki == nk - 1)
     def _finish():
         l = jnp.maximum(l_scr[...], 1e-20)
-        o_ref[0, :, 0, :] = (acc_scr[...] / l).astype(o_ref.dtype)
+        o_ref[0, 0, :, :] = (acc_scr[...] / l).astype(o_ref.dtype)
 
 
 def _flash_call(
-    q: jnp.ndarray,  # [B, Lq, N, D] (padded to BQ)
-    k: jnp.ndarray,  # [B, Lk, N, D] (padded to BK)
+    q: jnp.ndarray,  # [B, N, Lq, D] (Lq padded to BQ) — BNLD so block tiles
+    k: jnp.ndarray,  # [B, N, Lk, D]   satisfy the (8,128) lowering constraint
     v: jnp.ndarray,
     bounds: jnp.ndarray,  # [4] int32
     scale: float,
     mode: str,
     kv_len: int,
 ) -> jnp.ndarray:
-    b, lq, n, d = q.shape
-    lk = k.shape[1]
+    b, n, lq, d = q.shape
+    lk = k.shape[2]
     grid = (b, n, lq // BQ, lk // BK)
     kernel = functools.partial(_flash_kernel, scale=scale, mode=mode, kv_len=kv_len)
     return pl.pallas_call(
@@ -136,12 +136,12 @@ def _flash_call(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, BQ, 1, d), lambda b_, n_, qi, ki, bounds: (b_, qi, n_, 0)),
-                pl.BlockSpec((1, BK, 1, d), lambda b_, n_, qi, ki, bounds: (b_, ki, n_, 0)),
-                pl.BlockSpec((1, BK, 1, d), lambda b_, n_, qi, ki, bounds: (b_, ki, n_, 0)),
+                pl.BlockSpec((1, 1, BQ, d), lambda b_, n_, qi, ki, bounds: (b_, n_, qi, 0)),
+                pl.BlockSpec((1, 1, BK, d), lambda b_, n_, qi, ki, bounds: (b_, n_, ki, 0)),
+                pl.BlockSpec((1, 1, BK, d), lambda b_, n_, qi, ki, bounds: (b_, n_, ki, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, BQ, 1, d), lambda b_, n_, qi, ki, bounds: (b_, qi, n_, 0)
+                (1, 1, BQ, d), lambda b_, n_, qi, ki, bounds: (b_, n_, qi, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((BQ, 1), jnp.float32),
@@ -157,10 +157,11 @@ def _flash_call(
 
 
 def _pad_seq(x: jnp.ndarray, mult: int) -> jnp.ndarray:
-    L = x.shape[1]
+    """Pad the L axis of [B, N, L, D] to a multiple of `mult`."""
+    L = x.shape[2]
     pad = _round_up(L, mult) - L
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
     return x
 
 
@@ -180,15 +181,15 @@ def decode_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     Lq, Lk = q.shape[1], k.shape[1]
-    qp = _pad_seq(q, BQ)
-    kp = _pad_seq(k, BK)
-    vp = _pad_seq(v, BK)
+    qp = _pad_seq(q.transpose(0, 2, 1, 3), BQ)
+    kp = _pad_seq(k.transpose(0, 2, 1, 3), BK)
+    vp = _pad_seq(v.transpose(0, 2, 1, 3), BK)
     bounds = jnp.stack(
         [jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32),
          jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32)]
     )
     out = _flash_call(qp, kp, vp, bounds, scale, "window", Lk)
-    return out[:, :Lq]
+    return out[:, :, :Lq].transpose(0, 2, 1, 3)
 
 
 def prefill_attention(
@@ -205,15 +206,15 @@ def prefill_attention(
     Lq, Lk = q.shape[1], k.shape[1]
     if local_window is None:
         local_window = 1 << 30
-    qp = _pad_seq(q, BQ)
-    kp = _pad_seq(k, BK)
-    vp = _pad_seq(v, BK)
+    qp = _pad_seq(q.transpose(0, 2, 1, 3), BQ)
+    kp = _pad_seq(k.transpose(0, 2, 1, 3), BK)
+    vp = _pad_seq(v.transpose(0, 2, 1, 3), BK)
     bounds = jnp.stack(
         [jnp.zeros((), jnp.int32), jnp.asarray(Lk, jnp.int32),
          jnp.asarray(block_tokens, jnp.int32), jnp.asarray(local_window, jnp.int32)]
     )
     out = _flash_call(qp, kp, vp, bounds, scale, "block_causal", Lk)
-    return out[:, :Lq]
+    return out[:, :, :Lq].transpose(0, 2, 1, 3)
 
 
 def flash_attention(q, k, v, mask=None, scale=None):

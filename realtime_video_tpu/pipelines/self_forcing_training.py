@@ -23,11 +23,6 @@ from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
 from realtime_video_tpu.ops import kv_cache as kvc
 
 
-def _grad_gate(x: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
-    """Gradient flows through x only where keep is True."""
-    return jnp.where(keep, x, jax.lax.stop_gradient(x))
-
-
 class SelfForcingTrainingPipeline:
     def __init__(
         self,
@@ -96,7 +91,11 @@ class SelfForcingTrainingPipeline:
         for blk in range(num_blocks):
             lo = blk * self.num_frame_per_block
             noisy = noise[:, lo : lo + self.num_frame_per_block]
-            x0 = noisy
+            # the reference breaks out of the denoise loop at the randomly
+            # chosen exit step (:155-204); under jit we run all (static) steps
+            # and select the chosen step's prediction — same value/gradient,
+            # bounded extra compute
+            x0_sel = jnp.zeros_like(noisy)
             for i, t_val in enumerate(steps):
                 keep = exit_flags[blk] == i
                 t = jnp.full((b, self.num_frame_per_block), t_val, jnp.float32)
@@ -106,18 +105,18 @@ class SelfForcingTrainingPipeline:
                     mode="decode", max_attention_size=max_attn,
                     rolling=True,
                 )
-                x0 = _grad_gate(x0_i, keep)
+                x0_sel = jnp.where(keep, x0_i, x0_sel)
                 if i < len(steps) - 1:
                     rng, sub = jax.random.split(rng)
-                    nz = jax.random.normal(sub, x0.shape, jnp.float32).astype(x0.dtype)
+                    nz = jax.random.normal(sub, x0_i.shape, jnp.float32).astype(x0_i.dtype)
                     t_next = jnp.full(
                         (b, self.num_frame_per_block), steps[i + 1], jnp.float32
                     )
-                    # re-noise from the (possibly grad-gated) prediction but do
-                    # not backprop through earlier steps (:155-204)
+                    # no backprop through earlier steps (:155-204)
                     noisy = self.scheduler.add_noise(
                         jax.lax.stop_gradient(x0_i), nz, t_next
                     )
+            x0 = x0_sel
             outputs.append(x0)
 
             # cache refresh with context-noise-corrupted clean latents

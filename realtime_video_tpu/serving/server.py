@@ -55,7 +55,13 @@ encode_pool = ThreadPoolExecutor(max_workers=min(24, (os.cpu_count() or 4) * 4))
 
 
 def _jpeg_bytes(frame: np.ndarray, quality: int = 90) -> bytes:
-    """[3, H, W] float in [0,1] -> JPEG bytes."""
+    """[3, H, W] float in [0,1] -> JPEG bytes (native GIL-free codec when
+    available, PIL fallback)."""
+    from realtime_video_tpu.native import encode_jpeg_planar
+
+    data = encode_jpeg_planar(frame, quality=quality)
+    if data is not None:
+        return data
     from PIL import Image
 
     arr = (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8).transpose(1, 2, 0)

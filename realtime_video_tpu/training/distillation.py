@@ -165,6 +165,92 @@ class DMD:
         return loss, {"critic_loss": loss}
 
 
+class SiD(DMD):
+    """Score identity Distillation (model/sid.py): loss =
+    (real - fake) * ((real - x0) - alpha * (real - fake)) / normalizer."""
+
+    def __init__(self, generator, real_score, fake_score, config):
+        super().__init__(generator, real_score, fake_score, config)
+        self.sid_alpha = float(config.get("sid_alpha", 1.0))
+
+    def distribution_matching_loss(
+        self, x0_gen, cross_cond, cross_uncond, fake_params, rng
+    ) -> jnp.ndarray:
+        b, f, c, h, w = x0_gen.shape
+        fsl = self.generator.cfg.frame_seq_length(h, w)
+        r_t, r_n = jax.random.split(rng)
+        t = sample_block_timesteps(
+            r_t, b, f, self.num_frame_per_block, min_t=self.min_step
+        )
+        t = jnp.clip(t, self.min_step, self.max_step)
+        noise = jax.random.normal(r_n, x0_gen.shape, jnp.float32).astype(x0_gen.dtype)
+        sched = self.generator.schedule
+        noisy = sched.add_noise(jax.lax.stop_gradient(x0_gen), noise, t)
+
+        pred_fake = _score_x0(self.fake_score, fake_params, noisy, t, cross_cond, fsl)
+        pred_real_cond = _score_x0(
+            self.real_score, self.real_score.params, noisy, t, cross_cond, fsl
+        )
+        pred_real_uncond = _score_x0(
+            self.real_score, self.real_score.params, noisy, t, cross_uncond, fsl
+        )
+        pred_real = pred_real_cond + self.guidance_scale * (
+            pred_real_cond - pred_real_uncond
+        )
+        pr = pred_real.astype(jnp.float32)
+        pf = pred_fake.astype(jnp.float32)
+        x0 = x0_gen.astype(jnp.float32)
+        sid = (pr - pf) * ((pr - x0) - self.sid_alpha * (pr - pf))
+        normalizer = jax.lax.stop_gradient(
+            jnp.mean(jnp.abs(x0 - pr), axis=(1, 2, 3, 4), keepdims=True)
+        )
+        sid = jnp.nan_to_num(sid / jnp.maximum(normalizer, 1e-6))
+        return jnp.mean(sid)
+
+
+class CausVid(DMD):
+    """CausVid (model/causvid.py): DMD variant whose generator inputs are
+    forward-simulated (noise added to CLEAN data) instead of autoregressive
+    rollout — one blockwise-causal masked forward predicts x0."""
+
+    def run_generator(
+        self,
+        gen_params: Params,
+        clean_latent: jnp.ndarray,  # [B,F,C,h,w] data
+        cross_cond: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+    ) -> jnp.ndarray:
+        from realtime_video_tpu.ops import attention as attn_ops
+
+        b, f, c, h, w = clean_latent.shape
+        fsl = self.generator.cfg.frame_seq_length(h, w)
+        r_t, r_n = jax.random.split(rng)
+        steps = jnp.asarray(self.pipeline.denoising_step_list, jnp.float32)
+        idx = jax.random.randint(r_t, (b, f // self.num_frame_per_block), 0, len(steps))
+        t = jnp.repeat(steps[idx], self.num_frame_per_block, axis=1)
+        noise = jax.random.normal(r_n, clean_latent.shape, jnp.float32).astype(
+            clean_latent.dtype
+        )
+        noisy = self.generator.schedule.add_noise(clean_latent, noise, t)
+        mask = attn_ops.blockwise_causal_mask(f, fsl, self.num_frame_per_block)
+        _, x0, _ = self.generator.forward(
+            gen_params, noisy, cross_cond, t, mode="train", attn_mask=mask
+        )
+        return x0
+
+    def generator_loss(
+        self, gen_params, fake_params, noise, cross_cond, cross_uncond, rng,
+        clean_latent: Optional[jnp.ndarray] = None,
+    ):
+        assert clean_latent is not None, "CausVid needs clean data latents"
+        r_gen, r_dmd = jax.random.split(rng)
+        x0_gen = self.run_generator(gen_params, clean_latent, cross_cond, r_gen)
+        loss = self.distribution_matching_loss(
+            x0_gen, cross_cond, cross_uncond, fake_params, r_dmd
+        )
+        return loss, {"dmd_loss": loss}
+
+
 def ode_regression_loss(
     generator: WanDiffusion,
     params: Params,
