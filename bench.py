@@ -64,23 +64,11 @@ def main() -> None:
     kv = kvc.init_kv_cache(cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim)
     schedule = gen.schedule
 
-    def denoise_block(params, kv, cross, noisy, current_start, rng):
-        b, f = noisy.shape[:2]
-        x0 = noisy
-        for i, t in enumerate(steps):
-            tarr = jnp.full((b, f), t, jnp.float32)
-            _, x0, kv = gen.forward(
-                params, noisy, cross, tarr, kv_cache=kv,
-                current_start=current_start, mode="decode",
-                max_attention_size=cache_size,
-            )
-            if i < len(steps) - 1:
-                rng, sub = jax.random.split(rng)
-                noise = jax.random.normal(sub, x0.shape, jnp.float32).astype(x0.dtype)
-                noisy = schedule.add_noise(x0, noise, jnp.full((b, f), steps[i + 1], jnp.float32))
-        return x0, kv, rng
-
-    block_fn = jax.jit(denoise_block, donate_argnums=(1,))
+    block_fn = jax.jit(
+        gen.make_denoise_block_fn(steps, cache_size, refresh_t=None),
+        donate_argnums=(1,),
+    )
+    del schedule
 
     from realtime_video_tpu.ops import attention as attn_ops
     from realtime_video_tpu.models import wan_dit
@@ -105,10 +93,12 @@ def main() -> None:
         jax.random.PRNGKey(4), (1, kv_frames - nfpb, 16, lat_h, lat_w), jnp.bfloat16
     )
 
-    # warmup / compile
+    # warmup / compile BOTH vae variants (first + streaming) and both step fns
     kv = prefill_fn(gen.params, kv, cross, ctx_frames)
     x0, kv, rng = block_fn(gen.params, kv, cross, noise, (kv_frames - nfpb) * fsl, rng)
     px, vcache = vae.decode_block(x0.astype(jnp.bfloat16))
+    px, vcache = vae.decode_block(x0.astype(jnp.bfloat16), vcache)
+    kv = prefill_fn(gen.params, kvc.reset_kv_cache(kv), cross, ctx_frames)
     jax.block_until_ready(px)
 
     # timed: steady-state blocks (recompute-prefill + denoise + decode).

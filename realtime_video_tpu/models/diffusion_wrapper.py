@@ -97,3 +97,60 @@ class WanDiffusion:
         )
         x0 = self.schedule.flow_to_x0(flow, noisy, t)
         return flow, x0, new_kv
+
+    def make_denoise_block_fn(
+        self,
+        steps: Tuple[float, ...],
+        max_attention_size: int,
+        refresh_t: Optional[float] = None,
+    ):
+        """Build the fused per-block denoise function: `lax.scan` over the
+        denoising steps (one traced forward instead of len(steps) copies —
+        compiles ~5x faster, identical math to the reference inner loop at
+        release_server.py:669-706 / causal_inference.py:189-236).
+
+        Returns fn(params, kv, cross, noisy, current_start, rng) ->
+        (x0, kv, rng). Wrap in jax.jit(donate_argnums=(1,)) at the call site.
+        """
+        gen = self
+        schedule = self.schedule
+        steps_arr = jnp.asarray(steps, jnp.float32)
+        nexts_arr = jnp.asarray(list(steps[1:]) + [0.0], jnp.float32)
+        n_steps = len(steps)
+
+        def fn(params, kv, cross, noisy, current_start, rng):
+            b, f = noisy.shape[:2]
+
+            def body(carry, xs):
+                noisy_c, kv_c, rng_c = carry
+                t_val, t_next, is_last = xs
+                t = jnp.full((b, f), t_val, jnp.float32)
+                _, x0, kv_c = gen.forward(
+                    params, noisy_c, cross, t,
+                    kv_cache=kv_c, current_start=current_start,
+                    mode="decode", max_attention_size=max_attention_size,
+                )
+                rng_c, sub = jax.random.split(rng_c)
+                nz = jax.random.normal(sub, x0.shape, jnp.float32).astype(x0.dtype)
+                renoised = schedule.add_noise(
+                    x0, nz, jnp.full((b, f), t_next, jnp.float32)
+                )
+                noisy_c = jnp.where(is_last, x0, renoised)
+                return (noisy_c, kv_c, rng_c), x0
+
+            is_last = jnp.arange(n_steps) == n_steps - 1
+            (_, kv_out, rng_out), x0s = jax.lax.scan(
+                body, (noisy, kv, rng), (steps_arr, nexts_arr, is_last)
+            )
+            x0 = x0s[-1]
+            if refresh_t is not None:
+                # clean-context cache refresh (causal_inference.py:227-236)
+                t = jnp.full((b, f), refresh_t, jnp.float32)
+                _, _, kv_out = gen.forward(
+                    params, x0, cross, t,
+                    kv_cache=kv_out, current_start=current_start,
+                    mode="decode", max_attention_size=max_attention_size,
+                )
+            return x0, kv_out, rng_out
+
+        return fn

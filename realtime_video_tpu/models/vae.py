@@ -66,13 +66,29 @@ class _CacheIO:
 
 
 def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.ndarray:
-    y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype),
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
-    return y + p["b"].astype(x.dtype)
+    """3D conv decomposed into kt 2D convs summed over temporal taps.
+
+    XLA lowers true Conv3D poorly on TPU (measured ~50x slower); the
+    decomposition y[t] = sum_i conv2d(x[st*t + i], w[i]) is exact and keeps
+    everything on the fast NHWC conv path.
+    """
+    assert padding == "VALID"
+    w = p["w"].astype(x.dtype)  # [kt, kh, kw, ci, co]
+    kt = w.shape[0]
+    st, sh, sw = stride
+    b, T, H, W, C = x.shape
+    t_out = (T - kt) // st + 1
+    acc = None
+    for i in range(kt):
+        xi = x[:, i : i + st * (t_out - 1) + 1 : st]
+        xi = xi.reshape(b * t_out, H, W, C)
+        yi = jax.lax.conv_general_dilated(
+            xi, w[i], (sh, sw), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        acc = yi if acc is None else acc + yi
+    acc = acc + p["b"].astype(x.dtype)
+    return acc.reshape(b, t_out, *acc.shape[1:])
 
 
 def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.ndarray:
@@ -479,13 +495,26 @@ def decode_chunks(
     z = z.astype(latents.dtype)
     x = conv3d(params["conv2"], z)
     outs = []
-    for i in range(x.shape[1]):
-        frame = x[:, i : i + 1]
-        y, cache = decoder_apply(
-            cfg, params["decoder"], frame, cache, first=first and i == 0
-        )
+    start = 0
+    if first:
+        y, cache = decoder_apply(cfg, params["decoder"], x[:, :1], cache, first=True)
         outs.append(y)
-    out = jnp.concatenate(outs, axis=1)
+        start = 1
+    rest = x.shape[1] - start
+    if rest > 0:
+        # identical per-frame program -> scan (one traced decoder instance;
+        # compiles ~T times faster than the unrolled loop)
+        frames = jnp.moveaxis(x[:, start:], 1, 0)[:, :, None]  # [T,B,1,h,w,z]
+
+        def body(c, frame):
+            y, c = decoder_apply(cfg, params["decoder"], frame, c, first=False)
+            return c, y
+
+        cache, ys = jax.lax.scan(body, cache, frames)
+        # ys [T, B, 4, H, W, 3] -> [B, 4T, H, W, 3]
+        t, b = ys.shape[0], ys.shape[1]
+        outs.append(jnp.moveaxis(ys, 0, 1).reshape(b, -1, *ys.shape[3:]))
+    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     return jnp.clip(out.astype(jnp.float32), -1.0, 1.0), cache
 
 

@@ -273,25 +273,45 @@ def img_embedding(params: Params, clip_fea: jnp.ndarray) -> jnp.ndarray:
 
 
 def compute_crossattn_cache(
-    cfg: WanModelConfig, params: Params, context: jnp.ndarray
+    cfg: WanModelConfig,
+    params: Params,
+    context: jnp.ndarray,
+    clip_fea: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Precompute per-layer text K/V [L,B,T,N,Dh] (the reference computes these
-    lazily on first forward, model.py:186-195; we do it once per prompt)."""
+    lazily on first forward, model.py:186-195; we do it once per prompt).
+
+    For i2v models pass clip_fea [B, 257, 1280]: the img_emb MLP projects it
+    and per-layer k_img/v_img are cached too (WanI2VCrossAttention,
+    model.py:258-300).
+    """
     ctx = text_embedding(cfg, params, context)  # [B, T, D]
     ca = params["blocks"]["cross_attn"]
     b, T, _ = ctx.shape
     n, dh = cfg.num_heads, cfg.head_dim
 
-    def kv_one(w_k, b_k, w_v, b_v, nk_scale):
-        k = jnp.dot(ctx, w_k.astype(ctx.dtype)) + b_k.astype(ctx.dtype)
-        k = rms_norm({"scale": nk_scale}, k)
-        v = jnp.dot(ctx, w_v.astype(ctx.dtype)) + b_v.astype(ctx.dtype)
-        return k.reshape(b, T, n, dh), v.reshape(b, T, n, dh)
+    def kv_one(src):
+        def f(w_k, b_k, w_v, b_v, nk_scale):
+            k = jnp.dot(src, w_k.astype(src.dtype)) + b_k.astype(src.dtype)
+            k = rms_norm({"scale": nk_scale}, k)
+            v = jnp.dot(src, w_v.astype(src.dtype)) + b_v.astype(src.dtype)
+            Ts = src.shape[1]
+            return k.reshape(b, Ts, n, dh), v.reshape(b, Ts, n, dh)
+        return f
 
-    k, v = jax.vmap(kv_one)(
+    k, v = jax.vmap(kv_one(ctx))(
         ca["k"]["w"], ca["k"]["b"], ca["v"]["w"], ca["v"]["b"], ca["norm_k"]["scale"]
     )
-    return {"k": k, "v": v}
+    cache = {"k": k, "v": v}
+    if clip_fea is not None and cfg.model_type == "i2v":
+        img_ctx = img_embedding(params, clip_fea.astype(ctx.dtype))  # [B,257,D]
+        k_img, v_img = jax.vmap(kv_one(img_ctx))(
+            ca["k_img"]["w"], ca["k_img"]["b"], ca["v_img"]["w"], ca["v_img"]["b"],
+            ca["norm_k_img"]["scale"],
+        )
+        cache["k_img"] = k_img
+        cache["v_img"] = v_img
+    return cache
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +323,30 @@ def compute_crossattn_cache(
 class ForwardMode:
     kind: str  # "decode" | "prefill" | "train"
     rolling: bool = False  # rolling KV eviction (local-attn long-form path)
+
+
+def gan_block_apply(
+    cfg: WanModelConfig, p: Params, x: jnp.ndarray, register: jnp.ndarray
+) -> jnp.ndarray:
+    """GanAttentionBlock (model.py:391-470): register token cross-attends to
+    the layer features; token = reg + attn(norm3(x), reg); y = ffn(norm2) + token.
+
+    x [B, L, D]; register [B, 1, D]. Returns [B, 1, D].
+    """
+    b, L, d = x.shape
+    n, dh = cfg.num_heads, cfg.head_dim
+    xn = layer_norm(x, p["norm3"]["scale"], p["norm3"]["bias"], eps=cfg.eps)
+    ca = p["cross_attn"]
+    # WanGanCrossAttention (model.py:231-255): q from the register token,
+    # k/v from the features
+    q = rms_norm(ca["norm_q"], linear(ca["q"], register), eps=cfg.eps).reshape(b, 1, n, dh)
+    k = rms_norm(ca["norm_k"], linear(ca["k"], xn), eps=cfg.eps).reshape(b, L, n, dh)
+    v = linear(ca["v"], xn).reshape(b, L, n, dh)
+    y = attn_ops.xla_attention(q, k, v)
+    token = register + linear(ca["o"], y.reshape(b, 1, d))
+    tn = layer_norm(token, eps=cfg.eps)
+    ff = p["ffn"]
+    return linear(ff["fc2"], gelu_tanh(linear(ff["fc1"], tn))) + token
 
 
 def dit_forward(
@@ -319,6 +363,7 @@ def dit_forward(
     attn_mask: Optional[jnp.ndarray] = None,
     sink_tokens: int = 0,
     rolling: bool = False,
+    gan_classify: Optional[Dict[str, Any]] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """One transformer forward. Returns (flow_pred [B,F,C,H,W], new_kv_cache).
 
@@ -379,7 +424,7 @@ def dit_forward(
 
     def body(carry, xs):
         xtok, ck_all, cv_all = carry
-        bp, cak, cav, lid = xs
+        bp, cak, cav, lid = xs["bp"], xs["cak"], xs["cav"], xs["lid"]
         # modulation: [1,6,D] broadcast-added to e0 [B,F,6,D] (causal_model.py:466)
         em = bp["modulation"][None].astype(jnp.float32) + e0  # [B,F,6,D] via [1,1,6,D]
         sh_msa, sc_msa, g_msa = em[:, :, 0], em[:, :, 1], em[:, :, 2]
@@ -436,6 +481,13 @@ def dit_forward(
             xc = xtok
         qc = rms_norm(ca["norm_q"], linear(ca["q"], xc), eps=cfg.eps).reshape(b, L, n, dh)
         yc = attn_ops.attention(qc, cak.astype(qc.dtype), cav.astype(qc.dtype))
+        if "cak_img" in xs:
+            # i2v: add image-token attention before the output proj
+            # (WanI2VCrossAttention, model.py:291-299)
+            y_img = attn_ops.attention(
+                qc, xs["cak_img"].astype(qc.dtype), xs["cav_img"].astype(qc.dtype)
+            )
+            yc = yc + y_img
         xtok = xtok + linear(ca["o"], yc.reshape(b, L, cfg.dim))
 
         # ---- ffn ----
@@ -443,7 +495,31 @@ def dit_forward(
         ff = bp["ffn"]
         y = linear(ff["fc2"], gelu_tanh(linear(ff["fc1"], xf2)))
         xtok = xtok + gate(y, f, g_ffn)
-        return (xtok, ck_all, cv_all), None
+
+        ys = None
+        if gan_classify is not None:
+            # feature taps for the GAN critic (model.py:785-789): at tapped
+            # layers the matching register token cross-attends to the features
+            taps = gan_classify["taps"]
+            regs = gan_classify["registers"]  # [num_reg, D] (rms-normed)
+            gbs = gan_classify["blocks"]
+
+            def mk(i):
+                def f(_):
+                    reg = jnp.broadcast_to(
+                        regs[i][None, None].astype(xtok.dtype), (b, 1, cfg.dim)
+                    )
+                    return gan_block_apply(cfg, gbs[i], xtok, reg)
+                return f
+
+            def zero(_):
+                return jnp.zeros((b, 1, cfg.dim), xtok.dtype)
+
+            branch = len(taps)
+            for i, tl in enumerate(taps):
+                branch = jnp.where(lid == tl, i, branch)
+            ys = jax.lax.switch(branch, [mk(i) for i in range(len(taps))] + [zero], None)
+        return (xtok, ck_all, cv_all), ys
 
     if kv_cache is not None:
         carry0 = (tokens, kv_cache["k"], kv_cache["v"])
@@ -451,11 +527,29 @@ def dit_forward(
         dummy = jnp.zeros((num_layers, b, 1, n, dh), tokens.dtype)
         carry0 = (tokens, dummy, dummy)
 
-    (tokens, new_k, new_v), _ = jax.lax.scan(
-        body,
-        carry0,
-        (params["blocks"], crossattn_cache["k"], crossattn_cache["v"], layer_ids),
-    )
+    xs = {
+        "bp": params["blocks"],
+        "cak": crossattn_cache["k"],
+        "cav": crossattn_cache["v"],
+        "lid": layer_ids,
+    }
+    if "k_img" in crossattn_cache:
+        xs["cak_img"] = crossattn_cache["k_img"]
+        xs["cav_img"] = crossattn_cache["v_img"]
+    (tokens, new_k, new_v), tap_tokens = jax.lax.scan(body, carry0, xs)
+
+    logits = None
+    if gan_classify is not None:
+        # tap_tokens: [L, B, 1, D]; gather the tapped layers (model.py:790-795)
+        taps = gan_classify["taps"]
+        sel = jnp.concatenate([tap_tokens[tl] for tl in taps], axis=1)  # [B,n,D]
+        flat = sel.reshape(b, -1)
+        if gan_classify.get("concat_time", False):
+            flat = jnp.concatenate([flat, 10.0 * e[:, 0].astype(flat.dtype)], axis=-1)
+        cp = gan_classify["cls_head"]
+        hcls = layer_norm(flat, cp["norm"]["scale"], cp["norm"]["bias"], eps=1e-5)
+        hcls = jax.nn.silu(linear(cp["fc1"], hcls))
+        logits = linear(cp["fc2"], hcls)
 
     # ---- head (CausalHead, causal_model.py:495-523) ----
     hp = params["head"]
@@ -465,6 +559,8 @@ def dit_forward(
     out = linear(hp["head"], yh)
     flow = unpatchify(cfg, out, grid)
 
+    if gan_classify is not None:
+        return flow, logits
     new_cache = None
     if kv_cache is not None:
         new_cache = {
@@ -474,3 +570,36 @@ def dit_forward(
             "local_end": new_local_end,
         }
     return flow, new_cache
+
+
+def dit_classify(
+    cfg: WanModelConfig,
+    params: Params,
+    noisy: jnp.ndarray,
+    t: jnp.ndarray,
+    rope_tables: RopeTables,
+    crossattn_cache: Dict[str, jnp.ndarray],
+    gan_params: Params,
+    taps: Tuple[int, ...] = (13, 21, 29),
+    concat_time: bool = False,
+) -> jnp.ndarray:
+    """Discriminator logits [B, num_class] (classify-mode forward,
+    model.py:775-795). Full bidirectional attention, no cache."""
+    b, f, c, h, w = noisy.shape
+    fsl = cfg.frame_seq_length(h, w)
+    mask = jnp.ones((f * fsl, f * fsl), bool)
+    registers = rms_norm(
+        gan_params["register_norm"], gan_params["register_tokens"], eps=1e-6
+    )
+    _, logits = dit_forward(
+        cfg, params, noisy, t.astype(jnp.float32), rope_tables, crossattn_cache,
+        mode="train", attn_mask=mask,
+        gan_classify={
+            "taps": taps,
+            "registers": registers,
+            "blocks": gan_params["blocks"],
+            "cls_head": gan_params["cls_head"],
+            "concat_time": concat_time,
+        },
+    )
+    return logits

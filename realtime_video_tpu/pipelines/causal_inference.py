@@ -80,36 +80,10 @@ class CausalInferencePipeline:
         key = (steps, refresh_t, max_attn)
         if key in self._block_fns:
             return self._block_fns[key]
-        gen = self.generator
-        schedule = self.schedule
-
-        def block_fn(params, kv, cross, noisy, current_start, rng):
-            b, f = noisy.shape[:2]
-            x0 = noisy
-            for i, t in enumerate(steps):
-                tarr = jnp.full((b, f), t, jnp.float32)
-                _, x0, kv = gen.forward(
-                    params, noisy, cross, tarr,
-                    kv_cache=kv, current_start=current_start,
-                    mode="decode", max_attention_size=max_attn,
-                )
-                if i < len(steps) - 1:
-                    rng, sub = jax.random.split(rng)
-                    noise = jax.random.normal(sub, x0.shape, jnp.float32).astype(x0.dtype)
-                    tnext = jnp.full((b, f), steps[i + 1], jnp.float32)
-                    noisy = schedule.add_noise(x0, noise, tnext)
-            if refresh_t is not None:
-                # rerun with (near-)zero timestep to write clean context KV
-                # (causal_inference.py:227-236)
-                tarr = jnp.full((b, f), refresh_t, jnp.float32)
-                _, _, kv = gen.forward(
-                    params, x0, cross, tarr,
-                    kv_cache=kv, current_start=current_start,
-                    mode="decode", max_attention_size=max_attn,
-                )
-            return x0, kv, rng
-
-        fn = jax.jit(block_fn, donate_argnums=(1,))
+        fn = jax.jit(
+            self.generator.make_denoise_block_fn(steps, max_attn, refresh_t),
+            donate_argnums=(1,),
+        )
         self._block_fns[key] = fn
         return fn
 

@@ -214,28 +214,11 @@ class GenerationSession:
     @lru_cache(maxsize=8)
     def _denoise_fn(self, steps: Tuple[float, ...]):
         gen = self.models.transformer
-        schedule = self.schedule
-        max_attn = self._max_attn()
-
-        def fn(params, kv, cross, noisy, current_start, rng):
-            b, f = noisy.shape[:2]
-            x0 = noisy
-            for i, t in enumerate(steps):
-                tarr = jnp.full((b, f), t, jnp.float32)
-                _, x0, kv = gen.forward(
-                    params, noisy, cross, tarr, kv_cache=kv,
-                    current_start=current_start, mode="decode",
-                    max_attention_size=max_attn,
-                )
-                if i < len(steps) - 1:
-                    rng, sub = jax.random.split(rng)
-                    nz = jax.random.normal(sub, x0.shape, jnp.float32).astype(x0.dtype)
-                    noisy = schedule.add_noise(
-                        x0, nz, jnp.full((b, f), steps[i + 1], jnp.float32)
-                    )
-            return x0, kv, rng
-
-        return jax.jit(fn, donate_argnums=(1,))
+        gen.schedule = self.schedule  # session-specific timestep shift
+        return jax.jit(
+            gen.make_denoise_block_fn(steps, self._max_attn(), refresh_t=None),
+            donate_argnums=(1,),
+        )
 
     # ------------------------------------------------------------------
 
