@@ -364,6 +364,7 @@ def dit_forward(
     sink_tokens: int = 0,
     rolling: bool = False,
     gan_classify: Optional[Dict[str, Any]] = None,
+    tf_concat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """One transformer forward. Returns (flow_pred [B,F,C,H,W], new_kv_cache).
 
@@ -376,7 +377,10 @@ def dit_forward(
     """
     b, f, c, H, W = x.shape
     pt, ph, pw = cfg.patch_size
-    grid = (f, H // ph, W // pw)
+    # teacher forcing: x = [clean | noisy] along frames; RoPE positions repeat
+    # for the two halves (causal_model.py:1060-1077 + rope per chunk)
+    rope_f = f // 2 if tf_concat else f
+    grid = (rope_f, H // ph, W // pw)
     fsl = grid[1] * grid[2]
     L = f * fsl
     n, dh = cfg.num_heads, cfg.head_dim
@@ -436,8 +440,17 @@ def dit_forward(
         q = rms_norm(sa["norm_q"], linear(sa["q"], xn), eps=cfg.eps).reshape(b, L, n, dh)
         k = rms_norm(sa["norm_k"], linear(sa["k"], xn), eps=cfg.eps).reshape(b, L, n, dh)
         v = linear(sa["v"], xn).reshape(b, L, n, dh)
-        q = rope_apply(q, grid, rope_tables, start_frame)
-        k = rope_apply(k, grid, rope_tables, start_frame)
+        if tf_concat:
+            Lh = L // 2
+            q = jnp.concatenate(
+                [rope_apply(q[:, :Lh], grid, rope_tables, start_frame),
+                 rope_apply(q[:, Lh:], grid, rope_tables, start_frame)], axis=1)
+            k = jnp.concatenate(
+                [rope_apply(k[:, :Lh], grid, rope_tables, start_frame),
+                 rope_apply(k[:, Lh:], grid, rope_tables, start_frame)], axis=1)
+        else:
+            q = rope_apply(q, grid, rope_tables, start_frame)
+            k = rope_apply(k, grid, rope_tables, start_frame)
 
         if mode == "train":
             y = attn_ops.attention(q, k, v, mask=mask_b)
@@ -552,12 +565,17 @@ def dit_forward(
         logits = linear(cp["fc2"], hcls)
 
     # ---- head (CausalHead, causal_model.py:495-523) ----
+    if tf_concat:
+        # keep only the noisy half (causal_model.py:1104-1108)
+        tokens = tokens[:, L // 2 :]
+        e = e[:, f // 2 :]
+        f = f // 2
     hp = params["head"]
     eh = hp["modulation"][None].astype(jnp.float32) + e[:, :, None, :]  # [B,F,2,D]
     sh, sc = eh[:, :, 0], eh[:, :, 1]
     yh = modulate(layer_norm(tokens, eps=cfg.eps), f, sh, sc)
     out = linear(hp["head"], yh)
-    flow = unpatchify(cfg, out, grid)
+    flow = unpatchify(cfg, out, (f, grid[1], grid[2]))
 
     if gan_classify is not None:
         return flow, logits
