@@ -20,6 +20,10 @@ os.environ.setdefault("JAX_PLATFORMS", "")  # real backend
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: tunnel compiles take minutes; cache them
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtv_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from realtime_video_tpu.config import (

@@ -74,21 +74,37 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     """
     assert padding == "VALID"
     w = p["w"].astype(x.dtype)  # [kt, kh, kw, ci, co]
-    kt = w.shape[0]
+    kt, kh, kw = w.shape[:3]
     st, sh, sw = stride
-    b, T, H, W, C = x.shape
-    t_out = (T - kt) // st + 1
-    acc = None
-    for i in range(kt):
-        xi = x[:, i : i + st * (t_out - 1) + 1 : st]
-        xi = xi.reshape(b * t_out, H, W, C)
-        yi = jax.lax.conv_general_dilated(
-            xi, w[i], (sh, sw), "VALID",
+    T, H, W, C = x.shape  # THWC: time is the conv batch axis, so TPU tiling
+    t_out = (T - kt) // st + 1  # lands on (W, C) with no sublane-time padding
+    if kt == 1:
+        y = jax.lax.conv_general_dilated(
+            x[::st], w[0], (sh, sw), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        acc = yi if acc is None else acc + yi
-    acc = acc + p["b"].astype(x.dtype)
-    return acc.reshape(b, t_out, *acc.shape[1:])
+    elif st == 1:
+        # channel-concat the kt shifted temporal views and run ONE wide conv:
+        # y[t] = sum_i conv2d(x[t+i], w[i]) == conv2d(cat_c(x[t..t+kt]), cat_ci(w)).
+        # 3x wider input channels -> much better MXU utilisation than three
+        # narrow convs (or XLA's slow native Conv3D).
+        taps = [x[i : i + t_out] for i in range(kt)]
+        xin = jnp.concatenate(taps, axis=-1)
+        w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, w.shape[-1])
+        y = jax.lax.conv_general_dilated(
+            xin, w2, (sh, sw), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:  # strided temporal conv (encoder downsample3d) — per-tap sum
+        y = None
+        for i in range(kt):
+            xi = x[i : i + st * (t_out - 1) + 1 : st]
+            yi = jax.lax.conv_general_dilated(
+                xi, w[i], (sh, sw), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = yi if y is None else y + yi
+    return y + p["b"].astype(x.dtype)
 
 
 def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.ndarray:
@@ -116,40 +132,42 @@ def causal_conv3d(
     pad_t, pad_h, pad_w = 2 * (kt // 2), kh // 2, kw // 2
     if pad_t > 0:
         if cache is None:
-            xin = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
-            new_cache = x[:, -CACHE_T:]
-            if new_cache.shape[1] < CACHE_T:  # first chunk had 1 frame
+            xin = jnp.pad(x, ((pad_t, 0), (0, 0), (0, 0), (0, 0)))
+            new_cache = x[-CACHE_T:]
+            if new_cache.shape[0] < CACHE_T:  # first chunk had 1 frame
                 new_cache = jnp.concatenate(
-                    [jnp.zeros_like(new_cache), new_cache], axis=1
-                )[:, -CACHE_T:]
+                    [jnp.zeros_like(new_cache), new_cache], axis=0
+                )[-CACHE_T:]
         else:
-            xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
-            if xin.shape[1] < x.shape[1] + pad_t:
+            xin = jnp.concatenate([cache.astype(x.dtype), x], axis=0)
+            if xin.shape[0] < x.shape[0] + pad_t:
                 xin = jnp.pad(
-                    xin,
-                    ((0, 0), (x.shape[1] + pad_t - xin.shape[1], 0), (0, 0), (0, 0), (0, 0)),
+                    xin, ((x.shape[0] + pad_t - xin.shape[0], 0), (0, 0), (0, 0), (0, 0))
                 )
-            new_cache = jnp.concatenate([cache.astype(x.dtype), x], axis=1)[:, -CACHE_T:]
+            new_cache = jnp.concatenate([cache.astype(x.dtype), x], axis=0)[-CACHE_T:]
         io.put(new_cache)
     else:
         xin = x
-    y = conv3d(
-        p, jnp.pad(xin, ((0, 0), (0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0))),
+    return conv3d(
+        p, jnp.pad(xin, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0))),
         stride=stride,
     )
-    return y
 
 
 def rms_norm_image(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """RMS_norm channel-first images=False (vae.py:39-54): L2-normalise over C,
-    scale by sqrt(C)*gamma (+ bias). Here C is the last axis."""
-    xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True)) + 1e-12
+    scale by sqrt(C)*gamma (+ bias). Here C is the last axis.
+
+    Stats in f32, but scaling stays in the input dtype so the big tensor is
+    never materialised in f32 (single fused read/write pass)."""
     d = x.shape[-1]
-    y = xf / norm * math.sqrt(d) * p["gamma"].astype(jnp.float32)
+    sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    # sqrt(d)/||x|| = rsqrt(d * mean(x^2)) * sqrt(d) = rsqrt(mean(x^2))
+    inv = jax.lax.rsqrt(sq + 1e-12).astype(x.dtype)
+    y = x * inv * p["gamma"].astype(x.dtype)
     if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + p["bias"].astype(x.dtype)
+    return y
 
 
 def residual_block(p: Params, x: jnp.ndarray, io: _CacheIO, first: bool) -> jnp.ndarray:
@@ -168,10 +186,10 @@ def residual_block(p: Params, x: jnp.ndarray, io: _CacheIO, first: bool) -> jnp.
 
 def attention_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Single-head per-frame spatial attention (vae.py:212-251)."""
-    b, t, hh, ww, c = x.shape
+    t, hh, ww, c = x.shape
     ident = x
     y = rms_norm_image(p["norm"], x)
-    y = y.reshape(b * t, hh * ww, c)
+    y = y.reshape(t, hh * ww, c)
     qkv = jnp.einsum("blc,cd->bld", y, p["to_qkv"]["w"].astype(y.dtype)) + p["to_qkv"][
         "b"
     ].astype(y.dtype)
@@ -183,59 +201,43 @@ def attention_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     o = jnp.einsum("blc,cd->bld", o, p["proj"]["w"].astype(o.dtype)) + p["proj"][
         "b"
     ].astype(o.dtype)
-    return ident + o.reshape(b, t, hh, ww, c)
-
-
-def _spatial(fn, x: jnp.ndarray) -> jnp.ndarray:
-    b, t = x.shape[:2]
-    y = fn(x.reshape(b * t, *x.shape[2:]))
-    return y.reshape(b, t, *y.shape[1:])
+    return ident + o.reshape(t, hh, ww, c)
 
 
 def resample(
     p: Params, mode: str, x: jnp.ndarray, io: _CacheIO, first: bool
 ) -> jnp.ndarray:
     """Resample up/down 2d/3d with time-conv caches (vae.py:66-149)."""
-    b, t, hh, ww, c = x.shape
+    t, hh, ww, c = x.shape
     if mode == "upsample3d":
         if first:
             # reference: allocate zero cache, skip time conv (vae.py:109-111)
-            io.put(jnp.zeros((b, CACHE_T, hh, ww, c), x.dtype))
+            io.put(jnp.zeros((CACHE_T, hh, ww, c), x.dtype))
         else:
             cache = io.get()
-            xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            xin = jnp.concatenate([cache.astype(x.dtype), x], axis=0)
             y = conv3d(p["time_conv"], xin)  # k=(3,1,1) valid -> t frames, 2c ch
             # cache update (vae.py:114-120)
             if t >= CACHE_T:
-                new_cache = x[:, -CACHE_T:]
+                new_cache = x[-CACHE_T:]
             else:
-                last = x[:, -1:]
-                padding = jnp.where(cache[:, -1:] == 0, 0.0, last.astype(cache.dtype))
-                new_cache = jnp.concatenate([padding.astype(x.dtype), last], axis=1)
+                last = x[-1:]
+                padding = jnp.where(cache[-1:] == 0, 0.0, last.astype(cache.dtype))
+                new_cache = jnp.concatenate([padding.astype(x.dtype), last], axis=0)
             io.put(new_cache)
             # interleave the two halves over time (vae.py:123-125)
-            y = y.reshape(b, t, hh, ww, 2, c)
-            y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, t * 2, hh, ww, c)
+            y = y.reshape(t, hh, ww, 2, c)
+            y = y.transpose(0, 3, 1, 2, 4).reshape(t * 2, hh, ww, c)
             x = y
-            t = x.shape[1]
+            t = x.shape[0]
 
     if mode in ("upsample2d", "upsample3d"):
         # nearest 2x then 3x3 conv dim -> dim//2
-        up = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
-        x = _spatial(
-            lambda z: conv2d(
-                p["conv"], jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0))), (1, 1)
-            ),
-            up,
-        )
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        x = conv2d(p["conv"], jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0))), (1, 1))
     elif mode in ("downsample2d", "downsample3d"):
         # ZeroPad2d (0,1,0,1) + 3x3 stride-2 conv (vae.py:90-98)
-        x = _spatial(
-            lambda z: conv2d(
-                p["conv"], jnp.pad(z, ((0, 0), (0, 1), (0, 1), (0, 0))), (2, 2)
-            ),
-            x,
-        )
+        x = conv2d(p["conv"], jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0))), (2, 2))
 
     if mode == "downsample3d":
         if first:
@@ -243,9 +245,9 @@ def resample(
         else:
             cache = io.get()
             pre = x
-            xin = jnp.concatenate([cache[:, -1:].astype(x.dtype), x], axis=1)
+            xin = jnp.concatenate([cache[-1:].astype(x.dtype), x], axis=0)
             x = conv3d(p["time_conv"], xin, stride=(2, 1, 1))
-            io.put(pre[:, -1:])
+            io.put(pre[-1:])
     return x
 
 
@@ -455,24 +457,29 @@ def encode_chunks(
     stream: bool = False,
 ) -> Tuple[jnp.ndarray, Cache]:
     """Chunked encode: 1,4,4,... fresh (vae.py:491-517) or 4,4,... streaming
-    (vae_block3.py:133-175). Returns normalised latents [B, Tz, h, w, z]."""
-    t = video.shape[1]
+    (vae_block3.py:133-175). Returns normalised latents [B, Tz, h, w, z].
+
+    Internals run on THWC (batch folded; streaming requires B=1 exactly like
+    the reference cached paths, wan_wrapper.py:100)."""
+    assert video.shape[0] == 1, "streaming VAE paths are single-stream (B=1)"
+    vid = video[0]
+    t = vid.shape[0]
     outs = []
     if not stream:
-        z, cache = encoder_apply(cfg, params["encoder"], video[:, :1], None, first=True)
+        z, cache = encoder_apply(cfg, params["encoder"], vid[:1], None, first=True)
         outs.append(z)
         rest = range(1, t, 4)
     else:
         assert cache is not None, "streaming encode needs a warm cache"
         rest = range(0, t, 4)
     for s in rest:
-        z, cache = encoder_apply(cfg, params["encoder"], video[:, s : s + 4], cache, first=False)
+        z, cache = encoder_apply(cfg, params["encoder"], vid[s : s + 4], cache, first=False)
         outs.append(z)
-    out = jnp.concatenate(outs, axis=1)
+    out = jnp.concatenate(outs, axis=0)
     mu, _log_var = jnp.split(conv3d(params["conv1"], out), 2, axis=-1)
     mean, std = latent_scale(cfg, jnp.float32)
     mu = (mu.astype(jnp.float32) - mean) / std
-    return mu.astype(video.dtype), cache
+    return mu.astype(video.dtype)[None], cache
 
 
 def decode_chunks(
@@ -490,44 +497,43 @@ def decode_chunks(
     """
     if first is None:
         first = cache is None
+    assert latents.shape[0] == 1, "streaming VAE paths are single-stream (B=1)"
     mean, std = latent_scale(cfg, jnp.float32)
-    z = latents.astype(jnp.float32) * std + mean
+    z = latents[0].astype(jnp.float32) * std + mean
     z = z.astype(latents.dtype)
     x = conv3d(params["conv2"], z)
+    # whole-chunk decode: all frames batch through every conv together (the
+    # reference decodes frame-by-frame for torch.compile shape reasons,
+    # vae.py:529-541 — chunked is exact for causal convs and far faster on
+    # TPU). Only frame 0 of a fresh stream is special (skips time upsample).
     outs = []
     start = 0
     if first:
-        y, cache = decoder_apply(cfg, params["decoder"], x[:, :1], cache, first=True)
+        y, cache = decoder_apply(cfg, params["decoder"], x[:1], cache, first=True)
         outs.append(y)
         start = 1
-    rest = x.shape[1] - start
-    if rest > 0:
-        # identical per-frame program -> scan (one traced decoder instance;
-        # compiles ~T times faster than the unrolled loop)
-        frames = jnp.moveaxis(x[:, start:], 1, 0)[:, :, None]  # [T,B,1,h,w,z]
-
-        def body(c, frame):
-            y, c = decoder_apply(cfg, params["decoder"], frame, c, first=False)
-            return c, y
-
-        cache, ys = jax.lax.scan(body, cache, frames)
-        # ys [T, B, 4, H, W, 3] -> [B, 4T, H, W, 3]
-        t, b = ys.shape[0], ys.shape[1]
-        outs.append(jnp.moveaxis(ys, 0, 1).reshape(b, -1, *ys.shape[3:]))
-    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-    return jnp.clip(out.astype(jnp.float32), -1.0, 1.0), cache
+    if x.shape[0] - start > 0:
+        y, cache = decoder_apply(
+            cfg, params["decoder"], x[start:], cache, first=False
+        )
+        outs.append(y)
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return jnp.clip(out.astype(jnp.float32), -1.0, 1.0)[None], cache
 
 
 def encode_to_latent(cfg: VAEConfig, params: Params, pixels: jnp.ndarray) -> jnp.ndarray:
     """[B, T, 3, H, W] in [-1,1] -> [B, Tz, z, h, w] (WanVAEWrapper.encode_to_latent,
-    utils/wan_wrapper.py:79-93)."""
+    utils/wan_wrapper.py:79-93 — the reference also loops the batch)."""
     video = pixels.transpose(0, 1, 3, 4, 2)
-    z, _ = encode_chunks(cfg, params, video)
-    return z.transpose(0, 1, 4, 2, 3)
+    outs = [encode_chunks(cfg, params, video[i : i + 1])[0] for i in range(video.shape[0])]
+    return jnp.concatenate(outs, axis=0).transpose(0, 1, 4, 2, 3)
 
 
 def decode_to_pixel(cfg: VAEConfig, params: Params, latents: jnp.ndarray) -> jnp.ndarray:
     """[B, Tz, z, h, w] -> [B, T, 3, H, W] in [-1,1] (wan_wrapper.py:95-118)."""
     z = latents.transpose(0, 1, 3, 4, 2)
-    out, _ = decode_chunks(cfg, params, z, None, first=True)
-    return out.transpose(0, 1, 4, 2, 3)
+    outs = [
+        decode_chunks(cfg, params, z[i : i + 1], None, first=True)[0]
+        for i in range(z.shape[0])
+    ]
+    return jnp.concatenate(outs, axis=0).transpose(0, 1, 4, 2, 3)

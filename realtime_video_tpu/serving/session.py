@@ -220,6 +220,33 @@ class GenerationSession:
             donate_argnums=(1,),
         )
 
+    @lru_cache(maxsize=8)
+    def _block_step_fn(self, steps: Tuple[float, ...], num_ctx_frames: int):
+        """One fused dispatch per block: zero the cache, prefill it from the
+        clean context (the do_kv_recomp path, release_server.py:588-633), then
+        run the whole denoise loop — a single jit call replaces the
+        reference's mask rebuild + two model invocations per block."""
+        gen = self.models.transformer
+        gen.schedule = self.schedule
+        fsl = self.frame_seq_length
+        denoise = gen.make_denoise_block_fn(steps, self._max_attn(), refresh_t=None)
+        if num_ctx_frames > 0:
+            mask = attn_ops.blockwise_causal_mask(
+                num_ctx_frames, fsl, self.num_frame_per_block
+            )
+
+        def fn(params, kv, cross, clean_ctx, noisy, current_start, rng):
+            kv = kvc.reset_kv_cache(kv)
+            if num_ctx_frames > 0:
+                t0 = jnp.zeros(clean_ctx.shape[:2], jnp.float32)
+                _, kv = wan_dit.dit_forward(
+                    gen.cfg, params, clean_ctx, t0, gen.rope, cross,
+                    mode="prefill", kv_cache=kv, attn_mask=mask,
+                )
+            return denoise(params, kv, cross, noisy, current_start, rng)
+
+        return jax.jit(fn, donate_argnums=(1,))
+
     # ------------------------------------------------------------------
 
     def interpolate_prompt_embeds(self, models, new_prompt: str, interpolation_steps: int):
@@ -338,24 +365,32 @@ class GenerationSession:
             [first_latent[None].astype(self.all_latents.dtype), tail], axis=1
         )
 
-    def recompute_kv_cache(self, models) -> Optional[int]:
-        """Zero + re-prefill the KV cache from clean context
-        (release_server.py:588-633)."""
-        pipeline = models.pipeline
+    def plan_block_context(self, models):
+        """Select the clean-context latents for this block's KV recompute
+        (release_server.py:588-633) WITHOUT dispatching — the actual zero +
+        prefill happens fused inside _block_step_fn.
+
+        Returns (clean_context or None, model_input_start_frame)."""
         if self.block_idx == 0:
-            pipeline._initialize_kv_cache(1, self.frame_seq_length, jnp.bfloat16)
             if self.resume_latents is not None:
                 self.current_start_frame = self.resume_latents.shape[1]
                 self.all_latents = self.all_latents.at[
                     :, : self.current_start_frame
                 ].set(self.resume_latents.astype(self.all_latents.dtype))
             else:
-                return self.current_start_frame
-
+                return None, self.current_start_frame
         k = self.params.kv_cache_num_frames
         model_input_start_frame = min(self.current_start_frame, k)
-        clean_context = self.get_clean_context_frames(models)
+        return self.get_clean_context_frames(models), model_input_start_frame
+
+    def recompute_kv_cache(self, models) -> Optional[int]:
+        """Standalone zero + re-prefill (kept for API parity; the hot loop
+        uses the fused _block_step_fn instead)."""
+        pipeline = models.pipeline
+        clean_context, model_input_start_frame = self.plan_block_context(models)
         pipeline._initialize_kv_cache(1, self.frame_seq_length, jnp.bfloat16)
+        if clean_context is None:
+            return model_input_start_frame
         prefill = self._prefill_fn(clean_context.shape[1])
         pipeline.kv_cache = prefill(
             models.transformer.params, pipeline.kv_cache,
