@@ -68,26 +68,25 @@ def main() -> None:
     kv = kvc.init_kv_cache(cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim)
     schedule = gen.schedule
 
-    block_fn = jax.jit(
-        gen.make_denoise_block_fn(steps, cache_size, refresh_t=None),
-        donate_argnums=(1,),
-    )
     del schedule
-
-    from realtime_video_tpu.ops import attention as attn_ops
     from realtime_video_tpu.models import wan_dit
+    from realtime_video_tpu.ops import attention as attn_ops
 
+    # one fused dispatch per block: zero cache + context prefill + denoise
+    # scan — identical to the serving hot loop (GenerationSession._block_step_fn)
     pre_mask = attn_ops.blockwise_causal_mask(kv_frames - nfpb, fsl, nfpb)
+    denoise = gen.make_denoise_block_fn(steps, cache_size, refresh_t=None)
 
-    def prefill(params, kv, cross, latents):
-        tarr = jnp.zeros(latents.shape[:2], jnp.float32)
-        _, new_kv = wan_dit.dit_forward(
-            gen.cfg, params, latents, tarr, gen.rope, cross,
+    def block_step(params, kv, cross, clean_ctx, noisy, current_start, rng):
+        kv = kvc.reset_kv_cache(kv)
+        t0 = jnp.zeros(clean_ctx.shape[:2], jnp.float32)
+        _, kv = wan_dit.dit_forward(
+            gen.cfg, params, clean_ctx, t0, gen.rope, cross,
             mode="prefill", kv_cache=kv, attn_mask=pre_mask,
         )
-        return new_kv
+        return denoise(params, kv, cross, noisy, current_start, rng)
 
-    prefill_fn = jax.jit(prefill, donate_argnums=(1,))
+    step_fn = jax.jit(block_step, donate_argnums=(1,))
 
     rng = jax.random.PRNGKey(0)
     noise = jax.random.normal(
@@ -97,12 +96,12 @@ def main() -> None:
         jax.random.PRNGKey(4), (1, kv_frames - nfpb, 16, lat_h, lat_w), jnp.bfloat16
     )
 
-    # warmup / compile BOTH vae variants (first + streaming) and both step fns
-    kv = prefill_fn(gen.params, kv, cross, ctx_frames)
-    x0, kv, rng = block_fn(gen.params, kv, cross, noise, (kv_frames - nfpb) * fsl, rng)
+    # warmup / compile the fused step + BOTH vae variants (first + streaming)
+    x0, kv, rng = step_fn(
+        gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
+    )
     px, vcache = vae.decode_block(x0.astype(jnp.bfloat16))
     px, vcache = vae.decode_block(x0.astype(jnp.bfloat16), vcache)
-    kv = prefill_fn(gen.params, kvc.reset_kv_cache(kv), cross, ctx_frames)
     jax.block_until_ready(px)
 
     # timed: steady-state blocks (recompute-prefill + denoise + decode).
@@ -113,9 +112,8 @@ def main() -> None:
     outs = []
     t0 = time.perf_counter()
     for blk in range(num_blocks):
-        kv = prefill_fn(gen.params, kvc.reset_kv_cache(kv), cross, ctx_frames)
-        x0, kv, rng = block_fn(
-            gen.params, kv, cross, noise, (kv_frames - nfpb) * fsl, rng
+        x0, kv, rng = step_fn(
+            gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
         )
         px, vcache = vae.decode_block(x0.astype(jnp.bfloat16), vcache)
         outs.append(px)

@@ -128,6 +128,91 @@ def vit_forward(
     return x
 
 
+XLM_ROBERTA_CFG = dict(
+    vocab_size=250002, max_text_len=514, type_size=1, pad_id=1,
+    dim=1024, num_heads=16, num_layers=24, post_norm=True, norm_eps=1e-5,
+)
+
+
+def init_xlm_roberta_params(key, cfg=None, dtype=jnp.float32) -> Params:
+    """XLM-Roberta text tower (reference wan/modules/xlm_roberta.py:76-170):
+    BERT-style post-LN encoder with word/position/type embeddings."""
+    cfg = cfg or XLM_ROBERTA_CFG
+    d, nl = cfg["dim"], cfg["num_layers"]
+    keys = iter(jax.random.split(key, 8 * nl + 8))
+
+    def lin(k, din, dout):
+        return {
+            "w": (jax.random.normal(k, (din, dout), jnp.float32) * 0.02).astype(dtype),
+            "b": jnp.zeros((dout,), dtype),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    def block(k):
+        ks = iter(jax.random.split(k, 8))
+        return {
+            "attn": {
+                "q": lin(next(ks), d, d), "k": lin(next(ks), d, d),
+                "v": lin(next(ks), d, d), "o": lin(next(ks), d, d),
+            },
+            "norm1": ln(),
+            "ffn": {"fc1": lin(next(ks), d, 4 * d), "fc2": lin(next(ks), 4 * d, d)},
+            "norm2": ln(),
+        }
+
+    blocks = [block(k) for k in jax.random.split(next(keys), nl)]
+    return {
+        "token_embedding": (jax.random.normal(next(keys), (cfg["vocab_size"], d), jnp.float32) * 0.02).astype(dtype),
+        "pos_embedding": (jax.random.normal(next(keys), (cfg["max_text_len"], d), jnp.float32) * 0.02).astype(dtype),
+        "type_embedding": (jax.random.normal(next(keys), (cfg["type_size"], d), jnp.float32) * 0.02).astype(dtype),
+        "emb_norm": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs, 0), *blocks),
+        "pad_id": cfg["pad_id"],
+    }
+
+
+def xlm_roberta_forward(
+    params: Params, ids: jnp.ndarray, cfg=None
+) -> jnp.ndarray:
+    """[B, L] ids -> [B, L, dim] hidden states (post-norm transformer)."""
+    cfg = cfg or XLM_ROBERTA_CFG
+    d, nh = cfg["dim"], cfg["num_heads"]
+    hd = d // nh
+    b, L = ids.shape
+    pad_id = cfg["pad_id"]
+    mask = (ids != pad_id).astype(jnp.int32)
+    # roberta position ids: pad positions stay at pad_id, others count up
+    pos = jnp.cumsum(mask, axis=1) * mask + pad_id
+    x = (
+        params["token_embedding"][ids]
+        + params["pos_embedding"][pos]
+        + params["type_embedding"][jnp.zeros_like(ids)]
+    )
+    x = _ln(params["emb_norm"], x, cfg["norm_eps"])
+    attn_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
+
+    def body(x, bp):
+        ap = bp["attn"]
+        q = _lin(ap["q"], x).reshape(b, L, nh, hd)
+        k = _lin(ap["k"], x).reshape(b, L, nh, hd)
+        v = _lin(ap["v"], x).reshape(b, L, nh, hd)
+        logits = (
+            jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+            * hd**-0.5 + attn_bias
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, L, d)
+        x = _ln(bp["norm1"], x + _lin(ap["o"], o), cfg["norm_eps"])
+        h = jax.nn.gelu(_lin(bp["ffn"]["fc1"], x), approximate=False)
+        x = _ln(bp["norm2"], x + _lin(bp["ffn"]["fc2"], h), cfg["norm_eps"])
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return x
+
+
 class CLIPVisionEncoder:
     """i2v conditioning encoder (reference CLIPModel.visual, clip.py:527-541)."""
 

@@ -414,7 +414,7 @@ class GenerationSession:
             self.current_prompt_embeds = self.conditional_dict["prompt_embeds"]
             models.pipeline._initialize_crossattn_cache(self.current_prompt_embeds)
 
-        model_input_start_frame = self.recompute_kv_cache(models)
+        clean_context, model_input_start_frame = self.plan_block_context(models)
         assert model_input_start_frame is not None
         frame_ids: List[Optional[str]] = []
 
@@ -440,10 +440,15 @@ class GenerationSession:
             models.pipeline._initialize_crossattn_cache(self.current_prompt_embeds)
 
         steps = tuple(float(t) for t in self.denoising_step_list)
-        denoise = self._denoise_fn(steps)
-        x0, models.pipeline.kv_cache, self.rng = denoise(
+        nctx = clean_context.shape[1] if clean_context is not None else 0
+        step_fn = self._block_step_fn(steps, nctx)
+        if clean_context is None:
+            clean_context = jnp.zeros(
+                (1, 0, 16, self.latent_height, self.latent_width), jnp.bfloat16
+            )
+        x0, models.pipeline.kv_cache, self.rng = step_fn(
             models.transformer.params, models.pipeline.kv_cache,
-            models.pipeline.crossattn_cache, noisy_input,
+            models.pipeline.crossattn_cache, clean_context, noisy_input,
             model_input_start_frame * self.frame_seq_length, self.rng,
         )
 
