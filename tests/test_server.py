@@ -1,0 +1,94 @@
+"""WebSocket server protocol integration test (in-process aiohttp client,
+tiny models): ready handshake -> msgpack GenerateParams -> JPEG frames ->
+completed status; health endpoint; live prompt update message."""
+import asyncio
+from io import BytesIO
+
+import aiohttp
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from msgpack import packb
+
+from realtime_video_tpu.config import VAEConfig, WanModelConfig, load_server_config
+from realtime_video_tpu.models import vae as vae_mod
+from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
+from realtime_video_tpu.models.vae_wrapper import VAEWrapper
+from realtime_video_tpu.pipelines import CausalInferencePipeline
+from realtime_video_tpu.serving.models import Models
+from realtime_video_tpu.serving.server import create_app
+
+WAN_TINY = WanModelConfig(dim=64, ffn_dim=128, num_heads=2, num_layers=2)
+VAE_TINY = VAEConfig(dim=8, z_dim=16, dim_mult=(1, 1, 2, 2), num_res_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def app():
+    config = load_server_config(
+        denoising_step_list=[1000, 500], num_frame_per_block=3
+    )
+    gen = WanDiffusion(cfg=WAN_TINY, dtype=jnp.bfloat16)
+    vae = VAEWrapper(
+        cfg=VAE_TINY,
+        params=vae_mod.init_vae_params(jax.random.PRNGKey(7), VAE_TINY, jnp.bfloat16),
+    )
+
+    class FakeEncoder:
+        def __call__(self, text_prompts):
+            key = jax.random.PRNGKey(abs(hash(text_prompts[0])) % (2**31))
+            return {"prompt_embeds": jax.random.normal(key, (1, 64, WAN_TINY.text_dim), jnp.bfloat16)}
+
+    te = FakeEncoder()
+    pipeline = CausalInferencePipeline(config, gen, text_encoder=te, vae=vae)
+    models = Models(te, gen, pipeline, vae, vae)
+    return create_app(config, models)
+
+
+def test_health_and_ws_stream(app):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.get("/health")
+            assert resp.status == 200 and (await resp.text()) == "OK"
+
+            async with client.ws_connect("/session/itest") as ws:
+                ready = await ws.receive_json(timeout=30)
+                assert ready["status"] == "ready"
+                await ws.send_bytes(packb({
+                    "prompt": "a cat", "width": 64, "height": 64, "seed": 1,
+                    "num_blocks": 2, "num_denoising_steps": 2,
+                    "kv_cache_num_frames": 3,
+                }))
+                frames = 0
+                completed = False
+                for _ in range(200):
+                    msg = await ws.receive(timeout=240)
+                    if msg.type == aiohttp.WSMsgType.BINARY:
+                        frames += 1
+                        if frames == 1:
+                            from PIL import Image
+
+                            im = Image.open(BytesIO(msg.data))
+                            assert im.size == (64, 64) and im.mode == "RGB"
+                        if frames == 3:
+                            # live prompt update mid-stream
+                            await ws.send_bytes(packb({
+                                "prompt": "a dog", "interp_steps": 2
+                            }))
+                    elif msg.type == aiohttp.WSMsgType.TEXT:
+                        if '"completed"' in msg.data:
+                            completed = True
+                            break
+                    else:
+                        break
+                # block0: 6 frames, block1: 12 -> 18 total
+                assert frames == 18, frames
+                assert completed
+        finally:
+            await client.close()
+
+    asyncio.run(run())
