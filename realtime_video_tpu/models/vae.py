@@ -73,6 +73,16 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     everything on the fast NHWC conv path.
     """
     assert padding == "VALID"
+    if "w_q" in p:  # int8 tier: weights pre-merged to [kh,kw,kt*C,co]
+        kt = p["kt"]
+        st = stride[0]
+        assert st == 1 or kt == 1
+        T = x.shape[0]
+        t_out = T - kt + 1
+        if kt > 1:
+            taps = [x[i : i + t_out] for i in range(kt)]
+            x = jnp.concatenate(taps, axis=-1)
+        return _int8_conv2d(p, x, stride[1:])
     w = p["w"].astype(x.dtype)  # [kt, kh, kw, ci, co]
     kt, kh, kw = w.shape[:3]
     st, sh, sw = stride
@@ -107,8 +117,26 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     return y + p["b"].astype(x.dtype)
 
 
+def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1)) -> jnp.ndarray:
+    """Dynamic-activation int8 conv (the TPU analog of the reference's
+    TensorRT int8 VAE engine, demo_utils/vae_torch2trt.py): per-tensor
+    activation scale, per-output-channel weight scales, int32 accumulation."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
+    a_scale = amax / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127).astype(jnp.int8)
+    yq = jax.lax.conv_general_dilated(
+        xq, p["w_q"], stride, "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = yq.astype(jnp.float32) * (a_scale * p["scale"].astype(jnp.float32))
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
 def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.ndarray:
     """x [B*T, H, W, C]."""
+    if "w_q" in p:
+        return _int8_conv2d(p, x, stride)
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=stride,
@@ -128,7 +156,11 @@ def causal_conv3d(
     """CausalConv3d with cache splice (vae.py:17-36) + cache update
     (vae.py:191-209: new cache = last CACHE_T input frames, carrying over the
     previous cache frame when the chunk is shorter)."""
-    kt, kh, kw = p["w"].shape[:3]
+    if "w_q" in p:
+        kt = p["kt"]
+        kh, kw = p["w_q"].shape[:2]
+    else:
+        kt, kh, kw = p["w"].shape[:3]
     pad_t, pad_h, pad_w = 2 * (kt // 2), kh // 2, kw // 2
     if pad_t > 0:
         if cache is None:
@@ -432,6 +464,50 @@ def init_vae_params(key, cfg: VAEConfig, dtype=jnp.float32) -> Params:
         "conv1": _init_conv3d(next(keys), 1, 1, 1, z * 2, z * 2, dtype),  # vae.py:479
         "conv2": _init_conv3d(next(keys), 1, 1, 1, z, z, dtype),  # vae.py:480
     }
+
+
+def quantize_vae_params(params: Params) -> Params:
+    """int8-quantise the heavy (3x3 spatial) convs of a VAE param pytree:
+    per-output-channel symmetric weight scales; temporal taps pre-merged to
+    the wide-conv layout. 1x1 convs, time convs and norms stay in bf16/f32.
+    The serving flag is `enable_int8` (reference flag enable_fp8/use_trt)."""
+    import numpy as np
+
+    def quant(p):
+        if not (isinstance(p, dict) and "w" in p and "b" in p):
+            return p
+        w = np.asarray(p["w"], np.float32)
+        if w.ndim == 5:  # conv3d [kt,kh,kw,ci,co]
+            kt, kh, kw, ci, co = w.shape
+            if kh != 3:  # skip 1x1 spatial + time convs
+                return p
+            wm = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * ci, co)
+        elif w.ndim == 4:  # conv2d [kh,kw,ci,co]
+            kh = w.shape[0]
+            if kh != 3:
+                return p
+            kt, wm = 1, w
+        else:
+            return p
+        scale = np.maximum(np.abs(wm).reshape(-1, wm.shape[-1]).max(axis=0), 1e-8) / 127.0
+        wq = np.clip(np.round(wm / scale), -127, 127).astype(np.int8)
+        return {
+            "w_q": jnp.asarray(wq),
+            "scale": jnp.asarray(scale, jnp.float32),
+            "b": p["b"],
+            "kt": kt,
+        }
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and "b" in node and hasattr(node["w"], "ndim"):
+                return quant(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
 
 
 def latent_scale(cfg: VAEConfig, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:

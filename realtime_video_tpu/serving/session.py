@@ -457,9 +457,27 @@ class GenerationSession:
         ].set(x0)
         self.last_pred = x0
 
-        pixels, self.decode_vae_cache = models.vae_decoder.decode_block(
-            x0.astype(jnp.bfloat16), self.decode_vae_cache
-        )
+        if self.current_use_taehv:
+            # cheap preview tier (reference use_taehv flag,
+            # release_server.py:350 + demo_utils/taehv.py): ~50x less decode
+            # FLOPs; first-block trim matches the Wan 1+4(n-1) cadence
+            from realtime_video_tpu.models import taehv as taehv_mod
+
+            if not hasattr(models, "taehv_params") or models.taehv_params is None:
+                models.taehv_params = taehv_mod.init_taehv_params(
+                    jax.random.PRNGKey(0), jnp.bfloat16
+                )
+            px, self.decode_vae_cache = taehv_mod.taehv_decode(
+                models.taehv_params, x0.astype(jnp.bfloat16), self.decode_vae_cache
+            )
+            # taehv outputs ~[0,1]; session convention is [-1,1]. The
+            # reference ships decode_video's trim disabled (taehv.py:233) and
+            # relies on the common first-block drop below — mirror that.
+            pixels = px * 2.0 - 1.0
+        else:
+            pixels, self.decode_vae_cache = models.vae_decoder.decode_block(
+                x0.astype(jnp.bfloat16), self.decode_vae_cache
+            )
         # keep raw pixel frames for first-frame re-encode (anti-drift)
         for fi in range(pixels.shape[1]):
             self.frame_context_cache.append(pixels[:, fi])

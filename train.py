@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--latent", type=int, nargs=2, default=[60, 104])
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--log-every", type=int, default=1)
+    ap.add_argument("--ckpt-dir", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -87,8 +90,25 @@ def main() -> None:
         updates, opt_state = critic_tx.update(grads, opt_state, fake_params)
         return optax.apply_updates(fake_params, updates), opt_state, loss
 
+    # checkpoint/resume (replaces fsdp_state_dict/EMA_FSDP gathers,
+    # utils/distributed.py:11-20,91-125 — orbax handles sharded pytrees natively)
+    mngr = None
+    start_step = 0
+    if args.ckpt_dir:
+        import orbax.checkpoint as ocp
+
+        mngr = ocp.CheckpointManager(
+            args.ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=3)
+        )
+        if args.resume and mngr.latest_step() is not None:
+            start_step = mngr.latest_step()
+            restored = mngr.restore(start_step)
+            generator.params = restored["generator"]
+            fake_score.params = restored["fake_score"]
+            log.info("resumed from step %d", start_step)
+
     rng = jax.random.PRNGKey(config.get("seed", 0))
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         prompt = prompts[step % len(prompts)]
         cross_embeds = text_encoder([prompt])["prompt_embeds"].astype(jnp.bfloat16)
         cross = generator.compute_crossattn_cache(generator.params, cross_embeds)
@@ -112,6 +132,17 @@ def main() -> None:
                 "step %d: gen %.4f critic %.4f (%.2fs)",
                 step, float(g_loss), float(c_loss), time.time() - t0,
             )
+        if mngr is not None and step and step % args.save_every == 0:
+            import orbax.checkpoint as ocp
+
+            mngr.save(
+                step,
+                args=ocp.args.StandardSave(
+                    {"generator": generator.params, "fake_score": fake_score.params}
+                ),
+            )
+    if mngr is not None:
+        mngr.wait_until_finished()
 
 
 if __name__ == "__main__":
