@@ -108,6 +108,9 @@ def main() -> None:
     # All blocks are enqueued via JAX async dispatch and synced once — the
     # streaming server works the same way (the host never blocks per frame),
     # and this keeps host/tunnel RTT off the measured path.
+    profile_dir = os.getenv("RTV_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     frames_out = 0
     outs = []
     t0 = time.perf_counter()
@@ -120,6 +123,8 @@ def main() -> None:
         frames_out += px.shape[1]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
     fps = frames_out / dt
 
     label = "tiny" if tiny else "1.3b"

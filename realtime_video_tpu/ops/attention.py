@@ -16,7 +16,7 @@ mask tensors, no padding to 128 (XLA handles ragged tiles natively).
 """
 from __future__ import annotations
 
-import functools
+
 import os
 from typing import Optional, Tuple
 
@@ -202,8 +202,3 @@ def decode_window_mask(
     lo = jnp.maximum(local_end - max_attention_size, 0)
     valid = (kv_pos >= lo) & (kv_pos < local_end)
     return valid[None, None, :, :]  # broadcast over q
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _noop(*a):  # pragma: no cover
-    return None

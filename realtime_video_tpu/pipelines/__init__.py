@@ -8,3 +8,6 @@ from realtime_video_tpu.pipelines.causal_diffusion_inference import (  # noqa: F
     CausalDiffusionInferencePipeline,
 )
 from realtime_video_tpu.pipelines.causal_inference import CausalInferencePipeline  # noqa: F401
+from realtime_video_tpu.pipelines.self_forcing_training import (  # noqa: F401
+    SelfForcingTrainingPipeline,
+)

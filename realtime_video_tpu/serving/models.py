@@ -69,7 +69,15 @@ def load_text_encoder(config) -> WanTextEncoder:
 
 
 def load_vae(config) -> VAEWrapper:
-    return VAEWrapper.from_model_folder(dtype=jnp.bfloat16)
+    vae = VAEWrapper.from_model_folder(dtype=jnp.bfloat16)
+    if config.get("enable_int8", False):
+        # int8 conv tier (the reference's TRT-int8 / fp8 flags,
+        # release_server.py:179-182 + use_trt)
+        from realtime_video_tpu.models.vae import quantize_vae_params
+
+        vae.params = quantize_vae_params(vae.params)
+        log.info("VAE quantized to int8")
+    return vae
 
 
 def load_pipeline(config, transformer, text_encoder, vae) -> CausalInferencePipeline:

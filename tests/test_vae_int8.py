@@ -1,0 +1,47 @@
+"""int8 VAE tier: quantized decode tracks the bf16 decode closely and the
+streaming-cache property still holds under quantization."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_video_tpu.config import VAEConfig
+from realtime_video_tpu.models import vae as vae_mod
+
+CFG = VAEConfig(dim=8, z_dim=16, dim_mult=(1, 1, 2, 2), num_res_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return vae_mod.init_vae_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_int8_decode_tracks_fp(params):
+    q = vae_mod.quantize_vae_params(params)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 4, 4, CFG.z_dim)) * 0.1
+    full, _ = vae_mod.decode_chunks(CFG, params, z, None, first=True)
+    quant, _ = vae_mod.decode_chunks(CFG, q, z, None, first=True)
+    a, b = np.asarray(full), np.asarray(quant)
+    assert a.shape == b.shape
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_int8_streaming_consistency(params):
+    q = vae_mod.quantize_vae_params(params)
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 4, 4, CFG.z_dim)) * 0.1
+    full, _ = vae_mod.decode_chunks(CFG, q, z, None, first=True)
+    p0, cache = vae_mod.decode_chunks(CFG, q, z[:, :3], None, first=True)
+    p1, cache = vae_mod.decode_chunks(CFG, q, z[:, 3:], cache, first=False)
+    seq = jnp.concatenate([p0, p1], axis=1)
+    # activation scales are per-call (chunk boundaries shift them slightly)
+    a, b = np.asarray(seq), np.asarray(full)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995
+
+
+def test_quantize_preserves_structure(params):
+    q = vae_mod.quantize_vae_params(params)
+    # 3x3 convs quantized, 1x1 untouched
+    assert "w_q" in q["decoder"]["conv1"]
+    assert "w" in q["conv2"]  # 1x1x1 stays fp
+    assert q["decoder"]["conv1"]["w_q"].dtype == jnp.int8
