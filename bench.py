@@ -58,7 +58,7 @@ def main() -> None:
     kv_frames = 3 + nfpb  # kv_cache_num_frames=3 + block
     fsl = cfg.frame_seq_length(lat_h, lat_w)
 
-    gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0)
+    gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True)
     vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
         jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16))
 

@@ -33,6 +33,7 @@ class WanDiffusion:
         checkpoint_path: Optional[str] = None,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        fuse_qkv: bool = False,
     ):
         if params is None and checkpoint_path and os.path.exists(checkpoint_path):
             from realtime_video_tpu.utils.checkpoint import load_wan_dit
@@ -42,6 +43,9 @@ class WanDiffusion:
             cfg = WAN_CONFIGS[model_name]
         if params is None:
             params = wan_dit.init_wan_params(jax.random.PRNGKey(seed), cfg, dtype)
+        if fuse_qkv:
+            # inference-time fused projections (release_server.py:176-177)
+            params = wan_dit.fuse_qkv_params(params)
         self.cfg = cfg
         self.params = params
         self.is_causal = is_causal

@@ -124,6 +124,23 @@ def _init_linear(key, d_in, d_out, dtype, init="xavier", bias=True) -> Params:
     return p
 
 
+def fuse_qkv_params(params: Params) -> Params:
+    """Fuse per-block self-attention q/k/v into one [L, D, 3D] projection
+    (reference fuse_projections, causal_model.py:203-216). Inference-only
+    transform; the split weights are dropped."""
+    sa = params["blocks"]["self_attn"]
+    if "qkv" in sa:
+        return params
+    fused = {
+        "w": jnp.concatenate([sa["q"]["w"], sa["k"]["w"], sa["v"]["w"]], axis=-1),
+        "b": jnp.concatenate([sa["q"]["b"], sa["k"]["b"], sa["v"]["b"]], axis=-1),
+    }
+    new_sa = {k: v for k, v in sa.items() if k not in ("q", "k", "v")}
+    new_sa["qkv"] = fused
+    new_blocks = dict(params["blocks"], self_attn=new_sa)
+    return dict(params, blocks=new_blocks)
+
+
 def init_wan_params(
     key: jax.Array, cfg: WanModelConfig, dtype=jnp.bfloat16
 ) -> Params:
@@ -437,9 +454,17 @@ def dit_forward(
         # ---- self attention ----
         xn = modulate(layer_norm(xtok, eps=cfg.eps), f, sh_msa, sc_msa)
         sa = bp["self_attn"]
-        q = rms_norm(sa["norm_q"], linear(sa["q"], xn), eps=cfg.eps).reshape(b, L, n, dh)
-        k = rms_norm(sa["norm_k"], linear(sa["k"], xn), eps=cfg.eps).reshape(b, L, n, dh)
-        v = linear(sa["v"], xn).reshape(b, L, n, dh)
+        if "qkv" in sa:
+            # fused projection (reference fuse_projections,
+            # release_server.py:176-177): one wide matmul
+            q, k, v = jnp.split(linear(sa["qkv"], xn), 3, axis=-1)
+            q = rms_norm(sa["norm_q"], q, eps=cfg.eps).reshape(b, L, n, dh)
+            k = rms_norm(sa["norm_k"], k, eps=cfg.eps).reshape(b, L, n, dh)
+            v = v.reshape(b, L, n, dh)
+        else:
+            q = rms_norm(sa["norm_q"], linear(sa["q"], xn), eps=cfg.eps).reshape(b, L, n, dh)
+            k = rms_norm(sa["norm_k"], linear(sa["k"], xn), eps=cfg.eps).reshape(b, L, n, dh)
+            v = linear(sa["v"], xn).reshape(b, L, n, dh)
         if tf_concat:
             Lh = L // 2
             q = jnp.concatenate(

@@ -22,24 +22,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Params = Dict[str, Any]
 
 
-def _attn_pspecs(tp: str) -> Params:
+def _attn_pspecs(tp: str, fused: bool = False) -> Params:
     col_w, col_b = P(None, None, tp), P(None, tp)
-    repl_w, repl_b = P(None, None, None), P(None, None)
+    repl_b = P(None, None)
     specs = {
-        "q": {"w": col_w, "b": col_b},
-        "k": {"w": col_w, "b": col_b},
-        "v": {"w": col_w, "b": col_b},
         "o": {"w": P(None, tp, None), "b": repl_b},
         "norm_q": {"scale": P(None, tp)},
         "norm_k": {"scale": P(None, tp)},
     }
+    if fused:
+        # fused [L, D, 3D]: replicate — head-interleaved column split of the
+        # concatenated qkv would shard q/k/v inconsistently; GSPMD re-shards
+        # after the split instead
+        specs["qkv"] = {"w": P(None, None, tp), "b": P(None, tp)}
+    else:
+        for n in ("q", "k", "v"):
+            specs[n] = {"w": col_w, "b": col_b}
     return specs
 
 
 def wan_param_pspecs(params: Params, tp: str = "tp") -> Params:
     """PartitionSpec pytree matching a wan_dit param pytree."""
     blocks = {
-        "self_attn": _attn_pspecs(tp),
+        "self_attn": _attn_pspecs(tp, fused="qkv" in params["blocks"]["self_attn"]),
         "cross_attn": _attn_pspecs(tp),
         "ffn": {
             "fc1": {"w": P(None, None, tp), "b": P(None, tp)},

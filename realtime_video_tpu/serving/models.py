@@ -40,13 +40,15 @@ def load_transformer(config) -> WanDiffusion:
     shift = config.get("timestep_shift", 5.0)
     if ckpt and os.path.exists(ckpt):
         transformer = WanDiffusion(
-            checkpoint_path=ckpt, timestep_shift=shift, is_causal=True
+            checkpoint_path=ckpt, timestep_shift=shift, is_causal=True,
+            fuse_qkv=True,
         )
     else:
         name = config.get("model_name", "t2v-1.3B")
         log.warning("checkpoint %r missing — random-init %s", ckpt, name)
         transformer = WanDiffusion(
-            cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True
+            cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True,
+            fuse_qkv=True,
         )
     log.debug("Transformer load: %.2fs", time.time() - t0)
     return transformer

@@ -157,6 +157,16 @@ class GenerationSession:
             self.noise = self.noise.at[:, :n].set(mixed) if n < self.noise.shape[1] else mixed
             actual_num_blocks = latents.shape[1] // self.num_frame_per_block - 1
             self.num_blocks = min(actual_num_blocks, self.params.num_blocks)
+        if self.params.resume_latents is not None and isinstance(
+            self.params.resume_latents, bytes
+        ):
+            # serialized .npy latents [Tz, z, h, w] to resume from
+            # (GenerateParams.resume_latents, release_server.py:321)
+            import io as _io
+
+            arr = np.load(_io.BytesIO(self.params.resume_latents), allow_pickle=False)
+            lat = jnp.asarray(arr, jnp.bfloat16)
+            self.resume_latents = lat[None] if lat.ndim == 4 else lat
         if self.params.start_frame is not None:
             self.setup_start_frame(self.params.start_frame, models)
 

@@ -129,3 +129,25 @@ def test_anti_drift_first_frame_reencode(models):
     for _ in range(3):
         s.generate_block(m)
     assert s.block_idx == 3
+
+
+def test_taehv_preview_tier(models):
+    """use_taehv config flag: cheap preview decode keeps the frame cadence
+    (release_server.py:350 + demo_utils/taehv.py)."""
+    from realtime_video_tpu.config import load_server_config
+
+    m, _ = models
+    config = load_server_config(
+        denoising_step_list=[1000, 500], num_frame_per_block=3, use_taehv=True
+    )
+    frames = []
+    s = GenerationSession(
+        _params(num_blocks=2, num_denoising_steps=2), config,
+        frame_callback=lambda p, i, e: frames.append(np.asarray(p, np.float32)),
+        models=m,
+    )
+    s.generate_block(m)
+    s.generate_block(m)
+    # taehv emits 4*Tz frames per block; block 0 drops 3 -> 9, then 12
+    assert [f.shape[1] for f in frames] == [9, 12]
+    assert all(np.isfinite(f).all() for f in frames)
