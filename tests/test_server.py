@@ -82,6 +82,16 @@ def test_health_and_ws_stream(app):
                     elif msg.type == aiohttp.WSMsgType.TEXT:
                         if '"completed"' in msg.data:
                             completed = True
+                            # drain any frames that raced the completion
+                            while frames < 18:
+                                try:
+                                    m2 = await ws.receive(timeout=10)
+                                except Exception:  # noqa: BLE001
+                                    break
+                                if m2.type == aiohttp.WSMsgType.BINARY:
+                                    frames += 1
+                                else:
+                                    break
                             break
                     else:
                         break
