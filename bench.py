@@ -74,7 +74,6 @@ def main() -> None:
 
     # one fused dispatch per block: zero cache + context prefill + denoise
     # scan — identical to the serving hot loop (GenerationSession._block_step_fn)
-    pre_mask = attn_ops.blockwise_causal_mask(kv_frames - nfpb, fsl, nfpb)
     denoise = gen.make_denoise_block_fn(steps, cache_size, refresh_t=None)
 
     def block_step(params, kv, cross, clean_ctx, noisy, current_start, rng):
@@ -82,7 +81,7 @@ def main() -> None:
         t0 = jnp.zeros(clean_ctx.shape[:2], jnp.float32)
         _, kv = wan_dit.dit_forward(
             gen.cfg, params, clean_ctx, t0, gen.rope, cross,
-            mode="prefill", kv_cache=kv, attn_mask=pre_mask,
+            mode="prefill", kv_cache=kv, prefill_block_tokens=fsl * nfpb,
         )
         return denoise(params, kv, cross, noisy, current_start, rng)
 

@@ -382,6 +382,7 @@ def dit_forward(
     rolling: bool = False,
     gan_classify: Optional[Dict[str, Any]] = None,
     tf_concat: bool = False,
+    prefill_block_tokens: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """One transformer forward. Returns (flow_pred [B,F,C,H,W], new_kv_cache).
 
@@ -427,8 +428,8 @@ def dit_forward(
         new_global_end = jnp.asarray(L, jnp.int32)
         new_local_end = jnp.asarray(L, jnp.int32)
         shift = jnp.zeros((), jnp.int32)
-        if attn_mask is None:
-            raise ValueError("prefill requires attn_mask")
+        if attn_mask is None and prefill_block_tokens is None:
+            raise ValueError("prefill requires attn_mask or prefill_block_tokens")
     elif mode == "train":
         start_frame = jnp.zeros((), jnp.int32)
         if attn_mask is None:
@@ -505,7 +506,10 @@ def dit_forward(
                 y = attn_ops.decode_attention(
                     q, wk.astype(q.dtype), wv.astype(q.dtype), dec_lo, dec_hi
                 )
-            else:  # prefill: attend over current tokens with blockwise mask
+            elif prefill_block_tokens is not None:
+                # prefill on the Pallas block-causal kernel (no dense mask)
+                y = attn_ops.block_causal_attention(q, k, v, prefill_block_tokens)
+            else:  # prefill with an explicit dense mask (i2v variants)
                 y = attn_ops.attention(q, k, v, mask=mask_b)
 
         y = linear(sa["o"], y.reshape(b, L, cfg.dim))

@@ -160,6 +160,36 @@ def teacher_forcing_mask(
     return clean_mask | noise_mask | (q_idx == kv_idx)
 
 
+def block_causal_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_tokens: int,
+    local_window: Optional[int] = None,
+) -> jnp.ndarray:
+    """Blockwise-causal self attention (kv < ends[q], get_block_mask
+    semantics) — Pallas flash kernel on TPU (no dense mask materialised),
+    masked XLA fallback elsewhere."""
+    if _use_pallas():
+        try:
+            from realtime_video_tpu.ops import pallas_attention
+
+            return pallas_attention.prefill_attention(
+                q, k, v, block_tokens, local_window
+            )
+        except Exception:  # pragma: no cover
+            pass
+    L = q.shape[1]
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    ends = (q_idx // block_tokens + 1) * block_tokens
+    mask = kv_idx < ends
+    if local_window is not None:
+        mask = mask & (kv_idx >= ends - local_window)
+    mask = mask | (q_idx == kv_idx)
+    return xla_attention(q, k, v, mask=mask[None, None])
+
+
 def decode_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

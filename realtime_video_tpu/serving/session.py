@@ -240,10 +240,7 @@ class GenerationSession:
         gen.schedule = self.schedule
         fsl = self.frame_seq_length
         denoise = gen.make_denoise_block_fn(steps, self._max_attn(), refresh_t=None)
-        if num_ctx_frames > 0:
-            mask = attn_ops.blockwise_causal_mask(
-                num_ctx_frames, fsl, self.num_frame_per_block
-            )
+        block_tokens = fsl * self.num_frame_per_block
 
         def fn(params, kv, cross, clean_ctx, noisy, current_start, rng):
             kv = kvc.reset_kv_cache(kv)
@@ -251,7 +248,8 @@ class GenerationSession:
                 t0 = jnp.zeros(clean_ctx.shape[:2], jnp.float32)
                 _, kv = wan_dit.dit_forward(
                     gen.cfg, params, clean_ctx, t0, gen.rope, cross,
-                    mode="prefill", kv_cache=kv, attn_mask=mask,
+                    mode="prefill", kv_cache=kv,
+                    prefill_block_tokens=block_tokens,
                 )
             return denoise(params, kv, cross, noisy, current_start, rng)
 
