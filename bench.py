@@ -139,6 +139,12 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # noqa: BLE001 — degrade rather than emit nothing
+        import gc
+
         print(f"full-size bench failed ({type(e).__name__}); tiny fallback", file=sys.stderr)
+        # drop the traceback's frame refs so the failed attempt's HBM frees
+        e.__traceback__ = None
+        del e
+        gc.collect()
         os.environ["RTV_BENCH_TINY"] = "1"
         main()

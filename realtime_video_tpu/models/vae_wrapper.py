@@ -45,11 +45,16 @@ class VAEWrapper:
         self.params = params
 
         c = self.cfg
+        # latent frames batched through each conv per decoder pass; 1 bounds
+        # full-res temporaries on 16GB chips, raise on larger HBM
+        chunk = int(os.getenv("RTV_VAE_CHUNK", "1"))
         self._decode_first = jax.jit(
-            lambda p, z: vae_mod.decode_chunks(c, p, z, None, first=True)
+            lambda p, z: vae_mod.decode_chunks(c, p, z, None, first=True, chunk=chunk)
         )
         self._decode_rest = jax.jit(
-            lambda p, z, cache: vae_mod.decode_chunks(c, p, z, cache, first=False),
+            lambda p, z, cache: vae_mod.decode_chunks(
+                c, p, z, cache, first=False, chunk=chunk
+            ),
             donate_argnums=(2,),
         )
         self._encode_fresh = jax.jit(

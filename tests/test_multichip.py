@@ -72,3 +72,30 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_denoise_block_matches_single_device(gen):
+    """The full serving denoise block (scan over steps, KV carry) under tp
+    sharding == single-device — validates the hot path end-to-end on a mesh."""
+    steps = (1000.0, 500.0)
+    max_attn = 2 * F * FSL
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 16, CFG.text_dim), jnp.float32)
+    cross = gen.compute_crossattn_cache(gen.params, ctx)
+    noisy = jax.random.normal(jax.random.PRNGKey(4), (1, F, C, H, W), jnp.float32)
+    fn = gen.make_denoise_block_fn(steps, max_attn)
+    rng = jax.random.PRNGKey(5)
+
+    kv = kvc.init_kv_cache(CFG.num_layers, 1, max_attn, CFG.num_heads, CFG.head_dim, jnp.float32)
+    ref_x0, _, _ = jax.jit(fn)(gen.params, kv, cross, noisy, 0, rng)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    sp = shard_wan_params(gen.params, mesh)
+    skv = shard_kv_cache(
+        kvc.init_kv_cache(CFG.num_layers, 1, max_attn, CFG.num_heads, CFG.head_dim, jnp.float32),
+        mesh,
+    )
+    got_x0, new_kv, _ = jax.jit(fn, donate_argnums=(1,))(sp, skv, cross, noisy, 0, rng)
+    np.testing.assert_allclose(
+        np.asarray(got_x0), np.asarray(ref_x0), rtol=2e-4, atol=2e-4
+    )
+    assert "tp" in str(new_kv["k"].sharding)

@@ -1,0 +1,93 @@
+"""Utility-layer tests: tokenizer fallback, datasets, image helpers,
+prompt expanders, misc."""
+import os
+
+import numpy as np
+import pytest
+
+from realtime_video_tpu.utils.dataset import (
+    ODERegressionNpzDataset,
+    TextDataset,
+    save_ode_shard,
+)
+from realtime_video_tpu.utils.image import (
+    merge_lora_delta,
+    resize_and_center_crop,
+    resize_without_crop,
+)
+from realtime_video_tpu.utils.misc import AtomicCounter, merge_dict_list, set_seed
+from realtime_video_tpu.utils.prompt_extend import (
+    TemplatePromptExpander,
+    get_prompt_expander,
+)
+from realtime_video_tpu.utils.tokenizer import FallbackTokenizer, load_tokenizer
+
+
+def test_fallback_tokenizer_deterministic():
+    tok = FallbackTokenizer(seq_len=32)
+    ids1, mask1 = tok(["a cat surfing", "hello"])
+    ids2, _ = tok(["a cat surfing", "hello"])
+    assert ids1.shape == (2, 32) and mask1.shape == (2, 32)
+    np.testing.assert_array_equal(ids1, ids2)
+    assert mask1[0].sum() == 4  # 3 words + eos
+    assert ids1[0, 3] == tok.eos_id
+
+
+def test_load_tokenizer_falls_back():
+    tok = load_tokenizer("/nonexistent/path", seq_len=16)
+    assert isinstance(tok, FallbackTokenizer)
+
+
+def test_text_dataset(tmp_path):
+    p = tmp_path / "prompts.txt"
+    p.write_text("a cat\na dog\n\n")
+    ds = TextDataset(str(p))
+    assert len(ds) == 2
+    assert ds[1]["prompts"] == "a dog"
+
+
+def test_ode_npz_shard_roundtrip(tmp_path):
+    recs = [
+        {"ode_latent": np.random.rand(2, 3, 4).astype(np.float16), "prompts": "x"},
+        {"ode_latent": np.random.rand(2, 3, 4).astype(np.float16), "prompts": "y"},
+    ]
+    save_ode_shard(str(tmp_path / "shard_0.npz"), recs)
+    ds = ODERegressionNpzDataset(str(tmp_path))
+    assert len(ds) == 2
+    item = ds[1]
+    assert item["prompts"] == "y"
+    np.testing.assert_array_equal(item["ode_latent"], recs[1]["ode_latent"])
+
+
+def test_image_resize_crop():
+    img = np.random.rand(40, 60, 3).astype(np.float32)
+    out = resize_and_center_crop(img, 32, 32)
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    out2 = resize_without_crop((img * 255).astype(np.uint8), 20, 24)
+    assert out2.shape == (24, 20, 3)
+
+
+def test_lora_merge():
+    w = np.zeros((4, 4), np.float32)
+    down = np.ones((4, 2), np.float32)
+    up = np.ones((2, 4), np.float32)
+    out = merge_lora_delta(w, down, up, alpha=0.5)
+    np.testing.assert_allclose(out, np.full((4, 4), 1.0))
+
+
+def test_prompt_expander_offline():
+    exp = get_prompt_expander("template")
+    assert isinstance(exp, TemplatePromptExpander)
+    out = exp("a cat", seed=3)
+    assert out.status and out.prompt.startswith("a cat, ")
+    # deterministic per seed
+    assert exp("a cat", seed=3).prompt == out.prompt
+
+
+def test_misc():
+    set_seed(0)
+    c = AtomicCounter()
+    assert c.increment() == 1 and c.increment(2) == 3
+    merged = merge_dict_list([{"a": 1.0, "b": np.ones(2)}, {"a": 3.0, "b": np.zeros(2)}])
+    assert merged["a"] == 2.0
+    assert merged["b"].shape == (4,)
