@@ -61,6 +61,8 @@ def main() -> None:
     gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True)
     vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
         jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16))
+    if os.getenv("RTV_BENCH_INT8", "0") in ("1", "true"):
+        vae.params = vae_mod.quantize_vae_params(vae.params)
 
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, cfg.text_dim), jnp.bfloat16)
     cross = gen.compute_crossattn_cache(gen.params, ctx)

@@ -73,16 +73,16 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     everything on the fast NHWC conv path.
     """
     assert padding == "VALID"
-    if "w_q" in p:  # int8 tier: weights pre-merged to [kh,kw,kt*C,co]
-        kt = p["kt"]
+    if "w_q" in p:  # int8 tier: w_q [kt,kh,kw,C,co] int8
+        kt, kh, kw = p["w_q"].shape[:3]
         st = stride[0]
         assert st == 1 or kt == 1
-        T = x.shape[0]
-        t_out = T - kt + 1
+        t_out = x.shape[0] - kt + 1
         if kt > 1:
             taps = [x[i : i + t_out] for i in range(kt)]
             x = jnp.concatenate(taps, axis=-1)
-        return _int8_conv2d(p, x, stride[1:])
+        wq = p["w_q"].transpose(1, 2, 0, 3, 4).reshape(kh, kw, -1, p["w_q"].shape[-1])
+        return _int8_conv2d(dict(p, w_q=wq), x, stride[1:])
     w = p["w"].astype(x.dtype)  # [kt, kh, kw, ci, co]
     kt, kh, kw = w.shape[:3]
     st, sh, sw = stride
@@ -120,7 +120,8 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
 def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1)) -> jnp.ndarray:
     """Dynamic-activation int8 conv (the TPU analog of the reference's
     TensorRT int8 VAE engine, demo_utils/vae_torch2trt.py): per-tensor
-    activation scale, per-output-channel weight scales, int32 accumulation."""
+    activation scale, per-output-channel weight scales, int32 accumulation.
+    p["w_q"] here is the 4D [kh,kw,ci,co] (taps already merged by conv3d)."""
     amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
     a_scale = amax / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127).astype(jnp.int8)
@@ -136,7 +137,10 @@ def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1)) -> jnp.ndarray:
 def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.ndarray:
     """x [B*T, H, W, C]."""
     if "w_q" in p:
-        return _int8_conv2d(p, x, stride)
+        wq = p["w_q"]
+        if wq.ndim == 5:  # [1,kh,kw,ci,co]
+            wq = wq[0]
+        return _int8_conv2d(dict(p, w_q=wq), x, stride)
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=stride,
@@ -157,8 +161,7 @@ def causal_conv3d(
     (vae.py:191-209: new cache = last CACHE_T input frames, carrying over the
     previous cache frame when the chunk is shorter)."""
     if "w_q" in p:
-        kt = p["kt"]
-        kh, kw = p["w_q"].shape[:2]
+        kt, kh, kw = p["w_q"].shape[:3]  # int8 weights stay 5D (kt static)
     else:
         kt, kh, kw = p["w"].shape[:3]
     pad_t, pad_h, pad_w = 2 * (kt // 2), kh // 2, kw // 2
@@ -478,24 +481,22 @@ def quantize_vae_params(params: Params) -> Params:
             return p
         w = np.asarray(p["w"], np.float32)
         if w.ndim == 5:  # conv3d [kt,kh,kw,ci,co]
-            kt, kh, kw, ci, co = w.shape
-            if kh != 3:  # skip 1x1 spatial + time convs
+            if w.shape[1] != 3:  # skip 1x1 spatial + time convs
                 return p
-            wm = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * ci, co)
+            wq5 = w
         elif w.ndim == 4:  # conv2d [kh,kw,ci,co]
-            kh = w.shape[0]
-            if kh != 3:
+            if w.shape[0] != 3:
                 return p
-            kt, wm = 1, w
+            wq5 = w[None]
         else:
             return p
-        scale = np.maximum(np.abs(wm).reshape(-1, wm.shape[-1]).max(axis=0), 1e-8) / 127.0
-        wq = np.clip(np.round(wm / scale), -127, 127).astype(np.int8)
+        co = wq5.shape[-1]
+        scale = np.maximum(np.abs(wq5).reshape(-1, co).max(axis=0), 1e-8) / 127.0
+        wq = np.clip(np.round(wq5 / scale), -127, 127).astype(np.int8)
         return {
-            "w_q": jnp.asarray(wq),
+            "w_q": jnp.asarray(wq),  # [kt,kh,kw,ci,co] int8; kt static via shape
             "scale": jnp.asarray(scale, jnp.float32),
             "b": p["b"],
-            "kt": kt,
         }
 
     def walk(node):

@@ -77,3 +77,26 @@ def test_determinism_same_seed(pipeline):
         noise, prompt_embeds=_embeds(), return_latents=True, seed=42
     )
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-6)
+
+
+def test_warp_denoising_step_config():
+    """warp_denoising_step maps integer steps through the shifted schedule
+    (causal_inference.py:29-32)."""
+    config = load_server_config(
+        denoising_step_list=[1000, 750, 500, 250],
+        warp_denoising_step=True, num_frame_per_block=3,
+    )
+    gen = WanDiffusion(cfg=WAN_TINY, dtype=jnp.float32)
+    pipe = CausalInferencePipeline(config, gen)
+    steps = np.asarray(pipe.denoising_step_list)
+    ts = np.asarray(gen.schedule.timesteps)
+    np.testing.assert_allclose(
+        steps, [ts[0], ts[250], ts[500], ts[750]], rtol=1e-5
+    )
+
+
+def test_pipeline_profile_smoke(pipeline, capsys):
+    noise = jax.random.normal(jax.random.PRNGKey(8), (1, 3, 16, H, W), jnp.float32)
+    pipeline.inference(noise, prompt_embeds=_embeds(), profile=True, seed=0)
+    out = capsys.readouterr().out
+    assert "Profiling results" in out and "VAE decoding time" in out

@@ -79,3 +79,18 @@ def test_bidirectional_fewstep(gen):
     _, latents = pipe.inference(noise, prompt_embeds=_embeds(), return_latents=True)
     assert latents.shape == (1, 3, 16, H, W)
     assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_causal_diffusion_with_initial_latent(gen):
+    config = load_server_config(
+        num_frame_per_block=3, guidance_scale=2.0, sampling_steps=2,
+    )
+    pipe = CausalDiffusionInferencePipeline(config, gen)
+    noise = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 16, H, W), jnp.float32)
+    init = jax.random.normal(jax.random.PRNGKey(6), (1, 3, 16, H, W), jnp.float32)
+    _, latents = pipe.inference(
+        noise, prompt_embeds=_embeds(), neg_prompt_embeds=_embeds(9),
+        initial_latent=init, return_latents=True,
+    )
+    assert latents.shape == (1, 6, 16, H, W)
+    np.testing.assert_allclose(np.asarray(latents[:, :3]), np.asarray(init))
