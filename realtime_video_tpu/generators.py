@@ -9,7 +9,7 @@ parallelism for these full-clip teachers maps to the tp mesh shardings
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import numpy as np
 from realtime_video_tpu.config import (
     SAMPLE_NEG_PROMPT,
     VAE_STRIDE,
-    WanModelConfig,
     load_server_config,
 )
 from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion

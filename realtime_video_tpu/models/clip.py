@@ -9,11 +9,10 @@ xlm_roberta.py) for full API parity.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Params = Dict[str, Any]
 

@@ -14,7 +14,7 @@ and each layer looks up its own embedding inside the scan.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from realtime_video_tpu.config import MODEL_FOLDER, T5Config, T5_CONFIGS
 from realtime_video_tpu.models import t5 as t5_mod

@@ -10,7 +10,6 @@ import jax.numpy as jnp
 
 from realtime_video_tpu.config import SAMPLE_NEG_PROMPT
 from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
-from realtime_video_tpu.ops import attention as attn_ops
 from realtime_video_tpu.solvers import FlowDPMSolverMultistep, FlowUniPCMultistep
 
 

@@ -8,7 +8,7 @@ cache refresh after each block (:239-255).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
-from realtime_video_tpu.ops import attention as attn_ops
 from realtime_video_tpu.ops import kv_cache as kvc
 from realtime_video_tpu.scheduler import warp_denoising_steps
 

@@ -8,7 +8,7 @@ import logging
 import os
 import subprocess
 import time
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

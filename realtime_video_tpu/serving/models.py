@@ -10,11 +10,9 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Optional
-
 import jax.numpy as jnp
 
-from realtime_video_tpu.config import MODEL_FOLDER, WAN_CONFIGS
+from realtime_video_tpu.config import WAN_CONFIGS
 from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
 from realtime_video_tpu.models.text_encoder import WanTextEncoder
 from realtime_video_tpu.models.vae_wrapper import VAEWrapper

@@ -10,15 +10,13 @@ R1/R2 noise-perturbation penalties (gan.py:57-62).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from realtime_video_tpu.config import WanModelConfig
 from realtime_video_tpu.models import wan_dit
-from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
-from realtime_video_tpu.ops import attention as attn_ops
 from realtime_video_tpu.training.distillation import DMD
 from realtime_video_tpu.training.losses import sample_block_timesteps
 

@@ -6,7 +6,7 @@ The server config uses denoising_loss_type: flow
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,15 +6,12 @@ automatically because the loss averages over the dp-sharded batch axis.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
-
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
-from realtime_video_tpu.parallel.sharding import shard_wan_params, wan_param_pspecs
+from realtime_video_tpu.parallel.sharding import shard_wan_params
 from realtime_video_tpu.training.losses import causal_flow_matching_loss
 
 

@@ -13,7 +13,6 @@ leading layer axis to match the scan-based models.
 """
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
