@@ -58,7 +58,8 @@ def main() -> None:
     kv_frames = 3 + nfpb  # kv_cache_num_frames=3 + block
     fsl = cfg.frame_seq_length(lat_h, lat_w)
 
-    gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True)
+    gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True,
+                       quantize_linears=os.getenv("RTV_BENCH_INT8_DIT", "0") in ("1", "true"))
     vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
         jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16))
     if os.getenv("RTV_BENCH_INT8", "0") in ("1", "true"):

@@ -34,6 +34,7 @@ class WanDiffusion:
         dtype=jnp.bfloat16,
         seed: int = 0,
         fuse_qkv: bool = False,
+        quantize_linears: bool = False,
     ):
         if params is None and checkpoint_path and os.path.exists(checkpoint_path):
             from realtime_video_tpu.utils.checkpoint import load_wan_dit
@@ -46,6 +47,9 @@ class WanDiffusion:
         if fuse_qkv:
             # inference-time fused projections (release_server.py:176-177)
             params = wan_dit.fuse_qkv_params(params)
+        if quantize_linears:
+            # int8 block linears (reference enable_fp8 tier, default off)
+            params = wan_dit.quantize_wan_linears(params)
         self.cfg = cfg
         self.params = params
         self.is_causal = is_causal

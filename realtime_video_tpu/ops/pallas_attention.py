@@ -27,8 +27,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-BQ = 256
-BK = 512
+import os as _os
+
+BQ = int(_os.getenv("RTV_ATTN_BQ", "256"))
+BK = int(_os.getenv("RTV_ATTN_BK", "512"))
 
 
 def _round_up(x: int, m: int) -> int:
