@@ -58,11 +58,16 @@ def main() -> None:
     kv_frames = 3 + nfpb  # kv_cache_num_frames=3 + block
     fsl = cfg.frame_seq_length(lat_h, lat_w)
 
+    # int8 serving tier on by default (the reference's analogous perf tiers
+    # are TRT-int8 VAE + torchao fp8 linears; parity: DiT corr 0.999998,
+    # int8 VAE within test tolerances). Disable with RTV_BENCH_INT8[_DIT]=0.
+    int8_dit = os.getenv("RTV_BENCH_INT8_DIT", "1") in ("1", "true") and not tiny
+    int8_vae = os.getenv("RTV_BENCH_INT8", "1") in ("1", "true") and not tiny
     gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True,
-                       quantize_linears=os.getenv("RTV_BENCH_INT8_DIT", "0") in ("1", "true"))
+                       quantize_linears=int8_dit)
     vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
         jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16))
-    if os.getenv("RTV_BENCH_INT8", "0") in ("1", "true"):
+    if int8_vae:
         vae.params = vae_mod.quantize_vae_params(vae.params)
 
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, cfg.text_dim), jnp.bfloat16)

@@ -31,6 +31,8 @@ import os as _os
 
 BQ = int(_os.getenv("RTV_ATTN_BQ", "512"))  # measured: 512/1024 beats 256/512 by 14%
 BK = int(_os.getenv("RTV_ATTN_BK", "1024"))
+# int8 QK^T tier (SageAttention analog) — opt-in until measured end-to-end
+INT8_QK = _os.getenv("RTV_ATTN_INT8", "0") in ("1", "true")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,6 +53,7 @@ def _flash_kernel(
     scale: float,
     mode: str,  # "window" | "block_causal"
     kv_len: int,
+    int8_qk: bool = False,
 ):
     ki = pl.program_id(3)
     qi = pl.program_id(2)
@@ -87,9 +90,27 @@ def _flash_kernel(
         q = q_ref[0, 0, :, :]
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [BQ, BK]
+        if int8_qk:
+            # SageAttention analog (sage.py / install_sage.sh tier): dynamic
+            # per-row int8 QK^T on the MXU at 2x bf16 throughput. Softmax is
+            # invariant to a per-q-row constant, so K is mean-smoothed first
+            # (q·mean(k) shifts every logit in a row equally).
+            km = jnp.mean(k.astype(jnp.float32), axis=0, keepdims=True)
+            kf = k.astype(jnp.float32) - km
+            qf = q.astype(jnp.float32)
+            sq = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0 + 1e-8
+            sk = jnp.max(jnp.abs(kf), axis=1, keepdims=True) / 127.0 + 1e-8
+            qi = jnp.round(qf / sq).astype(jnp.int8)
+            ki8 = jnp.round(kf / sk).astype(jnp.int8)
+            s32 = jax.lax.dot_general(
+                qi, ki8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = s32.astype(jnp.float32) * (sq * sk.T) * scale  # [BQ, BK]
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [BQ, BK]
 
         kv_pos = kv_base + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         if mode == "window":
@@ -131,7 +152,9 @@ def _flash_call(
     b, n, lq, d = q.shape
     lk = k.shape[2]
     grid = (b, n, lq // BQ, lk // BK)
-    kernel = functools.partial(_flash_kernel, scale=scale, mode=mode, kv_len=kv_len)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, mode=mode, kv_len=kv_len, int8_qk=INT8_QK
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -148,6 +148,10 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config, models: 
                 break
             except ValidationError as e:
                 await websocket.send_json({"error": e.errors()})
+            except Exception as e:  # noqa: BLE001 — undecodable msgpack frame
+                await websocket.send_json(
+                    {"error": f"invalid msgpack payload: {type(e).__name__}"}
+                )
         if params is None:
             return
         params.block_on_frame = True

@@ -54,3 +54,19 @@ def test_unpadded_1560_token_frames():
             q, k, v, jnp.zeros((), jnp.int32), jnp.asarray(936, jnp.int32)
         )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_int8_qk_tier_close_to_bf16(monkeypatch):
+    """SageAttention-analog int8 QK^T (RTV_ATTN_INT8) stays within quantized
+    tolerance of the fp path on decode-window shapes."""
+    b, lq, lk, n, d = 1, 128, 512, 2, 128
+    q, k, v = _rand((b, lq, n, d), 7), _rand((b, lk, n, d), 8), _rand((b, lk, n, d), 9)
+    lo, hi = jnp.asarray(0, jnp.int32), jnp.asarray(512, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        want = pat.decode_attention(q, k, v, lo, hi)
+        monkeypatch.setattr(pat, "INT8_QK", True)
+        got = pat.decode_attention(q, k, v, lo, hi)
+    err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    assert err < 3e-2, err
+    # sanity: outputs are not identical (the int8 path actually ran)
+    assert err > 1e-6
