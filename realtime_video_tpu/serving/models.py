@@ -94,3 +94,58 @@ def load_all(config) -> Models:
     pipeline = load_pipeline(config, transformer, text_encoder, vae)
     log.info("All models loaded in %.2fs", time.time() - t0)
     return Models(text_encoder, transformer, pipeline, vae, vae)
+
+
+def warmup_models(models: Models, config, shapes=None) -> None:
+    """Pre-compile the serving hot path for each configured shape
+    (compile_models analog, release_server.py:753-755 + COMPILE_SHAPES
+    settings.py:6): the fused block step for both the first block (no
+    context) and steady state (kv_cache_num_frames of context), plus both
+    VAE decode variants. A new session's first frame then costs zero
+    compiles (persistent-cache misses aside)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_video_tpu.config import COMPILE_SHAPES
+    from realtime_video_tpu.scheduler import FlowMatchSchedule, get_denoising_schedule
+    from realtime_video_tpu.serving.session import fused_block_step
+
+    shapes = shapes or config.get("compile_shapes", COMPILE_SHAPES)
+    gen = models.transformer
+    cfg = gen.cfg
+    shift = float(config.get("timestep_shift", 5.0))
+    n_steps = int(config.get("num_denoising_steps", 5) or 5)
+    kv_frames = int(config.get("kv_cache_num_frames", 3))
+    nfpb = models.pipeline.num_frame_per_block
+
+    schedule = FlowMatchSchedule.create(shift=shift, sigma_min=0.0, extra_one_step=True)
+    steps = tuple(
+        float(t) for t in get_denoising_schedule(
+            np.asarray(schedule.zero_padded_timesteps()), 1.0, n_steps
+        )
+    )
+
+    t0 = time.time()
+    dummy_ctx = jnp.zeros((1, 512, cfg.text_dim), jnp.bfloat16)
+    cross = gen.compute_crossattn_cache(gen.params, dummy_ctx)
+    for w, h in shapes:
+        lat_h, lat_w = h // 8, w // 8
+        fsl = cfg.frame_seq_length(lat_h, lat_w)
+        max_attn = (kv_frames + nfpb) * fsl
+        from realtime_video_tpu.ops import kv_cache as kvc
+
+        kv = kvc.init_kv_cache(
+            cfg.num_layers, 1, max_attn, cfg.num_heads, cfg.head_dim
+        )
+        noisy = jnp.zeros((1, nfpb, 16, lat_h, lat_w), jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        for nctx in (0, kv_frames):
+            step = fused_block_step(gen, shift, steps, nctx, max_attn, fsl, nfpb)
+            clean = jnp.zeros((1, nctx, 16, lat_h, lat_w), jnp.bfloat16)
+            x0, kv, rng = step(gen.params, kv, cross, clean, noisy, kv_frames * fsl, rng)
+        px, vcache = models.vae_decoder.decode_block(x0)
+        px, _ = models.vae_decoder.decode_block(x0, vcache)
+        jax.block_until_ready(px)
+        log.info("warmup %dx%d done (%.1fs)", w, h, time.time() - t0)
+    log.info("warmup complete in %.1fs", time.time() - t0)

@@ -323,6 +323,12 @@ def create_app(config=None, models: Optional[Models] = None) -> web.Application:
     if models is None:
         models = load_all(config)
     app["models"] = models
+    if os.getenv("DO_COMPILE", "false").lower() in ("true", "1", "yes"):
+        # pre-compile the hot path for COMPILE_SHAPES (reference DO_COMPILE
+        # env + compile_models, release_server.py:85,753-755)
+        from realtime_video_tpu.serving.models import warmup_models
+
+        warmup_models(models, config)
     app.router.add_get("/health", health)
     app.router.add_get("/", root)
     app.router.add_post("/upload_video", upload_video)

@@ -74,6 +74,41 @@ def encode_video_latent(
     return latents[0], cache
 
 
+@lru_cache(maxsize=32)
+def fused_block_step(
+    gen,
+    shift: float,
+    steps: Tuple[float, ...],
+    num_ctx_frames: int,
+    max_attn: int,
+    fsl: int,
+    nfpb: int,
+):
+    """Module-level (cross-session) cache of the fused per-block jit:
+    reset KV cache + blockwise-causal context prefill + denoise scan.
+    Keyed on everything the trace depends on, so concurrent sessions with
+    the same shape/schedule share one compiled executable and a new
+    session's first block skips tracing entirely."""
+    gen.schedule = FlowMatchSchedule.create(
+        shift=shift, sigma_min=0.0, extra_one_step=True
+    )
+    denoise = gen.make_denoise_block_fn(steps, max_attn, refresh_t=None)
+    block_tokens = fsl * nfpb
+
+    def fn(params, kv, cross, clean_ctx, noisy, current_start, rng):
+        kv = kvc.reset_kv_cache(kv)
+        if num_ctx_frames > 0:
+            t0 = jnp.zeros(clean_ctx.shape[:2], jnp.float32)
+            _, kv = wan_dit.dit_forward(
+                gen.cfg, params, clean_ctx, t0, gen.rope, cross,
+                mode="prefill", kv_cache=kv,
+                prefill_block_tokens=block_tokens,
+            )
+        return denoise(params, kv, cross, noisy, current_start, rng)
+
+    return jax.jit(fn, donate_argnums=(1,))
+
+
 class GenerationSession:
     SESSION_COUNTER = AtomicCounter()
 
@@ -230,30 +265,25 @@ class GenerationSession:
             donate_argnums=(1,),
         )
 
-    @lru_cache(maxsize=8)
     def _block_step_fn(self, steps: Tuple[float, ...], num_ctx_frames: int):
         """One fused dispatch per block: zero the cache, prefill it from the
         clean context (the do_kv_recomp path, release_server.py:588-633), then
         run the whole denoise loop — a single jit call replaces the
-        reference's mask rebuild + two model invocations per block."""
-        gen = self.models.transformer
-        gen.schedule = self.schedule
-        fsl = self.frame_seq_length
-        denoise = gen.make_denoise_block_fn(steps, self._max_attn(), refresh_t=None)
-        block_tokens = fsl * self.num_frame_per_block
+        reference's mask rebuild + two model invocations per block.
 
-        def fn(params, kv, cross, clean_ctx, noisy, current_start, rng):
-            kv = kvc.reset_kv_cache(kv)
-            if num_ctx_frames > 0:
-                t0 = jnp.zeros(clean_ctx.shape[:2], jnp.float32)
-                _, kv = wan_dit.dit_forward(
-                    gen.cfg, params, clean_ctx, t0, gen.rope, cross,
-                    mode="prefill", kv_cache=kv,
-                    prefill_block_tokens=block_tokens,
-                )
-            return denoise(params, kv, cross, noisy, current_start, rng)
-
-        return jax.jit(fn, donate_argnums=(1,))
+        Delegates to a module-level cache keyed on static config so every
+        session after the first reuses the traced jit (the reference gets
+        the same via torch.compile's global cache; compile_models
+        release_server.py:753-755)."""
+        return fused_block_step(
+            self.models.transformer,
+            float(self.params.timestep_shift),
+            steps,
+            num_ctx_frames,
+            self._max_attn(),
+            self.frame_seq_length,
+            self.num_frame_per_block,
+        )
 
     # ------------------------------------------------------------------
 

@@ -151,3 +151,31 @@ def test_taehv_preview_tier(models):
     # taehv emits 4*Tz frames per block; block 0 drops 3 -> 9, then 12
     assert [f.shape[1] for f in frames] == [9, 12]
     assert all(np.isfinite(f).all() for f in frames)
+
+
+def test_warmup_models(models):
+    """compile_models analog: warmup pre-populates the cross-session jit
+    cache so a fresh session's first block is trace-free."""
+    from realtime_video_tpu.serving.models import warmup_models
+    from realtime_video_tpu.serving.session import fused_block_step
+
+    models, config = models
+    fused_block_step.cache_clear()
+    warmup_models(models, config, shapes=((64, 64),))
+    assert fused_block_step.cache_info().currsize >= 2  # nctx=0 and steady
+    hits_before = fused_block_step.cache_info().hits
+    # a session-shaped lookup with the same static config hits the cache
+    from realtime_video_tpu.scheduler import FlowMatchSchedule, get_denoising_schedule
+    import numpy as np
+
+    gen = models.transformer
+    shift = float(config.get("timestep_shift", 5.0))
+    sched = FlowMatchSchedule.create(shift=shift, sigma_min=0.0, extra_one_step=True)
+    steps = tuple(float(t) for t in get_denoising_schedule(
+        np.asarray(sched.zero_padded_timesteps()), 1.0,
+        int(config.get("num_denoising_steps", 5) or 5)))
+    fsl = gen.cfg.frame_seq_length(8, 8)
+    kvf = int(config.get("kv_cache_num_frames", 3))
+    nfpb = models.pipeline.num_frame_per_block
+    fused_block_step(gen, shift, steps, kvf, (kvf + nfpb) * fsl, fsl, nfpb)
+    assert fused_block_step.cache_info().hits == hits_before + 1
