@@ -28,7 +28,17 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 (keyword-only API, check_rep renamed to check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def _local_attention(q, k, v, scale, mask=None):

@@ -20,8 +20,13 @@ import jax.numpy as jnp
 
 
 def init_ema(params: Any, dtype=jnp.float32) -> Any:
-    """Shadow copy (fp32 by default, matching EMA_FSDP's fp32 shadow)."""
-    return jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+    """Shadow copy (fp32 by default, matching EMA_FSDP's fp32 shadow).
+
+    Always materialises fresh buffers — `astype` to the same dtype aliases,
+    and an aliased shadow breaks donation (same buffer donated twice)."""
+    return jax.tree_util.tree_map(
+        lambda p: jnp.array(p, dtype=dtype, copy=True), params
+    )
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))

@@ -30,10 +30,14 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     num_frame_per_block: int = 3,
+    ema_decay: float | None = None,
 ):
+    """If `ema_decay` is set, the step also maintains an fp32 EMA shadow of
+    the params (EMA_FSDP analog, utils/distributed.py:91-125) — pass/return
+    it as the optional `ema` argument."""
     data_sharding = NamedSharding(mesh, P("dp"))
 
-    def step(params, opt_state, latents, prompt_embeds, rng):
+    def step(params, opt_state, ema, latents, prompt_embeds, rng):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: causal_flow_matching_loss(
                 gen, p, latents, prompt_embeds, rng,
@@ -43,13 +47,23 @@ def make_train_step(
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        if ema_decay is not None:
+            ema = jax.tree_util.tree_map(
+                lambda s, p: s * ema_decay + p.astype(s.dtype) * (1.0 - ema_decay),
+                ema, params,
+            )
+        return params, opt_state, ema, metrics
 
-    jitted = jax.jit(step, donate_argnums=(0, 1))
+    jitted = jax.jit(step, donate_argnums=(0, 1, 2))
 
-    def run(params, opt_state, latents, prompt_embeds, rng):
+    def run(params, opt_state, latents, prompt_embeds, rng, ema=None):
         latents = jax.device_put(latents, data_sharding)
         prompt_embeds = jax.device_put(prompt_embeds, data_sharding)
-        return jitted(params, opt_state, latents, prompt_embeds, rng)
+        params, opt_state, ema, metrics = jitted(
+            params, opt_state, ema, latents, prompt_embeds, rng
+        )
+        if ema_decay is None:
+            return params, opt_state, metrics
+        return params, opt_state, ema, metrics
 
     return run

@@ -68,6 +68,30 @@ def test_sharded_training_step_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_sharded_training_step_with_ema():
+    from realtime_video_tpu.training.ema import init_ema
+    from realtime_video_tpu.training.train_step import make_train_state, make_train_step
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    g = WanDiffusion(cfg=CFG, dtype=jnp.float32)
+    params, tx, opt_state = make_train_state(g, mesh)
+    ema = init_ema(params)
+    step = make_train_step(g, tx, mesh, num_frame_per_block=3, ema_decay=0.5)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16, 8, 8), jnp.float32)
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 16, CFG.text_dim), jnp.float32)
+    p0 = np.asarray(jax.tree_util.tree_leaves(params)[0])
+    params, opt_state, ema, metrics = step(
+        params, opt_state, latents, embeds, jax.random.PRNGKey(2), ema=ema
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    e0 = np.asarray(jax.tree_util.tree_leaves(ema)[0])
+    n0 = np.asarray(jax.tree_util.tree_leaves(params)[0])
+    # ema moved halfway between the old and new params (decay 0.5)
+    np.testing.assert_allclose(e0, 0.5 * p0 + 0.5 * n0, rtol=1e-5, atol=1e-6)
+    # shadow inherits the param sharding
+    assert jax.tree_util.tree_leaves(ema)[0].sharding == jax.tree_util.tree_leaves(params)[0].sharding
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
 
