@@ -128,7 +128,10 @@ def main() -> None:
         px, vcache = vae.decode_block(x0.astype(jnp.bfloat16), vcache)
         outs.append(px)
         frames_out += px.shape[1]
-    jax.block_until_ready(outs)
+    # axon's block_until_ready can return before remote execution finishes —
+    # a host readback of the final frame (which depends on every prior block
+    # through the donated kv/vae caches) is the only trustworthy barrier
+    _sync = jax.device_get(outs[-1][0, -1, :, ::64, ::64])
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
