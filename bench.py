@@ -103,13 +103,14 @@ def main() -> None:
         jax.random.PRNGKey(4), (1, kv_frames - nfpb, 16, lat_h, lat_w), jnp.bfloat16
     )
 
-    # warmup / compile the fused step + BOTH vae variants (first + streaming)
+    # warmup / compile the fused step + BOTH vae variants (first + streaming).
+    # Decode per latent frame — the serving session's streamed-decode path.
     x0, kv, rng = step_fn(
         gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
     )
-    px, vcache = vae.decode_block(x0.astype(jnp.bfloat16))
-    px, vcache = vae.decode_block(x0.astype(jnp.bfloat16), vcache)
-    jax.block_until_ready(px)
+    px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
+    px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16), vcache)
+    jax.device_get(px[0, -1, :2, :2])
 
     # timed: steady-state blocks (recompute-prefill + denoise + decode).
     # All blocks are enqueued via JAX async dispatch and synced once — the
@@ -125,9 +126,12 @@ def main() -> None:
         x0, kv, rng = step_fn(
             gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
         )
-        px, vcache = vae.decode_block(x0.astype(jnp.bfloat16), vcache)
-        outs.append(px)
-        frames_out += px.shape[1]
+        for i in range(x0.shape[1]):
+            px, vcache = vae.decode_block(
+                x0[:, i : i + 1].astype(jnp.bfloat16), vcache
+            )
+            outs.append(px)
+            frames_out += px.shape[1]
     # axon's block_until_ready can return before remote execution finishes —
     # a host readback of the final frame (which depends on every prior block
     # through the donated kv/vae caches) is the only trustworthy barrier

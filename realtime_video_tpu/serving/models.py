@@ -144,8 +144,9 @@ def warmup_models(models: Models, config, shapes=None) -> None:
             step = fused_block_step(gen, shift, steps, nctx, max_attn, fsl, nfpb)
             clean = jnp.zeros((1, nctx, 16, lat_h, lat_w), jnp.bfloat16)
             x0, kv, rng = step(gen.params, kv, cross, clean, noisy, kv_frames * fsl, rng)
-        px, vcache = models.vae_decoder.decode_block(x0)
-        px, _ = models.vae_decoder.decode_block(x0, vcache)
-        jax.block_until_ready(px)
+        # serving decodes per latent frame (session streamed path)
+        px, vcache = models.vae_decoder.decode_block(x0[:, :1])
+        px, vcache = models.vae_decoder.decode_block(x0[:, :1], vcache)
+        jax.device_get(px[0, -1, :2, :2])
         log.info("warmup %dx%d done (%.1fs)", w, h, time.time() - t0)
     log.info("warmup complete in %.1fs", time.time() - t0)

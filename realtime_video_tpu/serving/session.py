@@ -512,10 +512,42 @@ class GenerationSession:
             # reference ships decode_video's trim disabled (taehv.py:233) and
             # relies on the common first-block drop below — mirror that.
             pixels = px * 2.0 - 1.0
-        else:
+        elif self.params.webcam_mode or frame_ids:
+            # webcam path keeps the whole-block decode: frame_ids must stay
+            # aligned with the emitted frames
             pixels, self.decode_vae_cache = models.vae_decoder.decode_block(
                 x0.astype(jnp.bfloat16), self.decode_vae_cache
             )
+        else:
+            # stream the decode per latent frame: the block's first pixel
+            # frames reach the client roughly two-thirds of a block-decode
+            # earlier (TTFF), with math identical to the block decode (the
+            # streaming conv cache carries across calls)
+            drop = 3 if idx == 0 else 0
+            parts = []
+            for i in range(x0.shape[1]):
+                px_i, self.decode_vae_cache = models.vae_decoder.decode_block(
+                    x0[:, i : i + 1].astype(jnp.bfloat16), self.decode_vae_cache
+                )
+                for fi in range(px_i.shape[1]):
+                    self.frame_context_cache.append(px_i[:, fi])
+                out_i = px_i[:, drop:]
+                drop = max(0, drop - px_i.shape[1])
+                parts.append(out_i)
+                if out_i.shape[1]:
+                    self.most_recent_frame = out_i[:, -1:]
+                    try:
+                        out_i.copy_to_host_async()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    self.frame_callback(out_i, [], None)
+                    self.total_frames_sent += out_i.shape[1]
+            self.current_start_frame += self.num_frame_per_block
+            self.block_idx += 1
+            self.resume_latents = None
+            return jnp.concatenate(parts, axis=1)
+
+        # whole-block paths (taehv / webcam)
         # keep raw pixel frames for first-frame re-encode (anti-drift)
         for fi in range(pixels.shape[1]):
             self.frame_context_cache.append(pixels[:, fi])

@@ -70,8 +70,12 @@ def test_session_generates_blocks_with_streaming_decode(models):
     assert s.num_blocks == 3
     for _ in range(3):
         s.generate_block(m)
-    # block 0: 9 decoded, 3 dropped -> 6; blocks 1,2: 12 each
-    assert [f.shape[1] for f in frames_per_block] == [6, 12, 12]
+    # per-latent-frame streamed decode (TTFF): the callback fires per
+    # sub-chunk. Block 0 decodes 1+4+4 and drops the first 3 -> [2, 4];
+    # blocks 1,2 decode 4+4+4 -> [4, 4, 4] each. Totals: 6 + 12 + 12.
+    assert [f.shape[1] for f in frames_per_block] == [2, 4] + [4, 4, 4] * 2
+    assert sum(f.shape[1] for f in frames_per_block) == 30
+    assert s.total_frames_sent == 30
     h = w = 64
     assert all(f.shape[2:] == (3, h, w) for f in frames_per_block)
     assert all(np.isfinite(f).all() for f in frames_per_block)
