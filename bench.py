@@ -63,12 +63,24 @@ def main() -> None:
     # int8 VAE within test tolerances). Disable with RTV_BENCH_INT8[_DIT]=0.
     int8_dit = os.getenv("RTV_BENCH_INT8_DIT", "1") in ("1", "true") and not tiny
     int8_vae = os.getenv("RTV_BENCH_INT8", "1") in ("1", "true") and not tiny
+    use_taehv = os.getenv("RTV_BENCH_TAEHV", "0") in ("1", "true") and not tiny
     gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True,
                        quantize_linears=int8_dit)
     vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
         jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16))
     if int8_vae:
         vae.params = vae_mod.quantize_vae_params(vae.params)
+    if use_taehv:
+        # preview decode tier (reference use_taehv flag, release_server.py:350)
+        from realtime_video_tpu.models import taehv as taehv_mod
+
+        taehv_params = taehv_mod.init_taehv_params(jax.random.PRNGKey(5), jnp.bfloat16)
+
+        class _TaehvVae:
+            def decode_block(self, z, cache=None):
+                return taehv_mod.taehv_decode(taehv_params, z, cache)
+
+        vae = _TaehvVae()
 
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, cfg.text_dim), jnp.bfloat16)
     cross = gen.compute_crossattn_cache(gen.params, ctx)
@@ -141,7 +153,7 @@ def main() -> None:
         jax.profiler.stop_trace()
     fps = frames_out / dt
 
-    label = "tiny" if tiny else "1.3b"
+    label = "tiny" if tiny else ("1.3b_taehv" if use_taehv else "1.3b")
     print(json.dumps({
         "metric": f"t2v_fps_832x480_4step_{label}_{jax.default_backend()}",
         "value": round(fps, 3),
