@@ -24,7 +24,7 @@ VAE_TINY = VAEConfig(dim=8, z_dim=16, dim_mult=(1, 1, 2, 2), num_res_blocks=1)
 
 
 @pytest.fixture(scope="module")
-def app():
+def stack():
     config = load_server_config(
         denoising_step_list=[1000, 500], num_frame_per_block=3
     )
@@ -42,7 +42,15 @@ def app():
     te = FakeEncoder()
     pipeline = CausalInferencePipeline(config, gen, text_encoder=te, vae=vae)
     models = Models(te, gen, pipeline, vae, vae)
-    return create_app(config, models)
+    return config, models
+
+
+@pytest.fixture
+def app(stack):
+    # aiohttp Applications bind to the first event loop that starts them —
+    # each test runs its own asyncio.run loop, so build a fresh app per test
+    # over the shared (expensive) models
+    return create_app(*stack)
 
 
 def test_health_and_ws_stream(app):
@@ -98,6 +106,104 @@ def test_health_and_ws_stream(app):
                 # block0: 6 frames, block1: 12 -> 18 total
                 assert frames == 18, frames
                 assert completed
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_upload_endpoints_and_download(app):
+    """upload_start_frame/upload_video roundtrips + download_video after a
+    stream (reference endpoints release_server.py:867-919)."""
+    import io
+
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # start-frame upload roundtrip
+            buf = io.BytesIO()
+            Image.new("RGB", (64, 64), (10, 200, 30)).save(buf, format="PNG")
+            data = aiohttp.FormData()
+            data.add_field("file", buf.getvalue(), filename="frame.png")
+            resp = await client.post("/upload_start_frame", data=data)
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["path"].endswith(".png") and body["filename"] == "frame.png"
+
+            # bad (non-multipart) video upload -> 500 json error, server alive
+            resp = await client.post("/upload_video", data=b"not multipart")
+            assert resp.status == 500 and "error" in (await resp.json())
+            assert (await client.get("/health")).status == 200
+
+            # stream a short session, then download the mp4
+            async with client.ws_connect("/session/dl1") as ws:
+                await ws.receive_json(timeout=30)
+                await ws.send_bytes(packb({
+                    "prompt": "a cat", "width": 64, "height": 64, "seed": 1,
+                    "num_blocks": 1, "num_denoising_steps": 1,
+                    "kv_cache_num_frames": 3,
+                }))
+                for _ in range(100):
+                    msg = await ws.receive(timeout=240)
+                    if msg.type == aiohttp.WSMsgType.TEXT and "completed" in msg.data:
+                        break
+            resp = await client.get("/download_video/dl1")
+            if resp.status == 200:
+                assert resp.content_type == "video/mp4"
+                assert len(await resp.read()) > 100
+                # storage consumed -> second download 404s
+                assert (await client.get("/download_video/dl1")).status == 404
+            else:
+                # no mp4 encoder available in this environment
+                assert resp.status in (404, 500)
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_midstream_reset_keeps_server_alive(app):
+    """action:'reset' mid-stream disposes and replaces the session without
+    killing the socket (release_server.py reset handling)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            async with client.ws_connect("/session/rst1") as ws:
+                await ws.receive_json(timeout=30)
+                await ws.send_bytes(packb({
+                    "prompt": "a cat", "width": 64, "height": 64, "seed": 1,
+                    "num_blocks": 2, "num_denoising_steps": 1,
+                    "kv_cache_num_frames": 3,
+                }))
+                # wait for at least one frame, then reset
+                got_frame = False
+                for _ in range(100):
+                    msg = await ws.receive(timeout=240)
+                    if msg.type == aiohttp.WSMsgType.BINARY:
+                        got_frame = True
+                        break
+                assert got_frame
+                await ws.send_bytes(packb({"action": "reset"}))
+                # reference semantics (release_server.py:1046-1048): reset
+                # disposes the session; the stream may continue with the new
+                # session's frames or finish with "completed" — either way
+                # the socket and server must stay healthy
+                for _ in range(50):
+                    try:
+                        msg = await ws.receive(timeout=20)
+                    except asyncio.TimeoutError:
+                        break
+                    if msg.type in (aiohttp.WSMsgType.TEXT, aiohttp.WSMsgType.BINARY):
+                        continue
+                    break
+            assert (await client.get("/health")).status == 200
         finally:
             await client.close()
 
