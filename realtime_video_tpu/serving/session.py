@@ -443,6 +443,16 @@ class GenerationSession:
         idx = self.block_idx
         if idx >= self.num_blocks:
             return None
+        if (
+            idx > 0
+            and self.current_start_frame + self.num_frame_per_block
+            > self.all_latents.shape[1]
+        ):
+            # resume latents consumed part of the frame budget — end
+            # gracefully instead of slicing an empty noise block (the
+            # reference would feed a short tensor here and error out of the
+            # generate loop, release_server.py:660)
+            return None
 
         if self.current_prompt_embeds is None:
             cond = models.text_encoder(text_prompts=[self.params.prompt])

@@ -183,3 +183,35 @@ def test_warmup_models(models):
     nfpb = models.pipeline.num_frame_per_block
     fused_block_step(gen, shift, steps, kvf, (kvf + nfpb) * fsl, fsl, nfpb)
     assert fused_block_step.cache_info().hits == hits_before + 1
+
+
+def test_session_start_frame_conditioning(models, tmp_path):
+    """i2v-style start frame (GenerateParams.start_frame, reference
+    release_server.py:578-586): the image is encoded into resume latents
+    and the first block is conditioned on them."""
+    from PIL import Image
+
+    m, config = models
+    img_path = tmp_path / "start.png"
+    Image.fromarray(
+        (np.random.rand(64, 64, 3) * 255).astype(np.uint8)
+    ).save(img_path)
+
+    frames = []
+    s = GenerationSession(
+        _params(start_frame=str(img_path), num_blocks=2), config,
+        frame_callback=lambda px, ids, e: frames.append(np.asarray(px)),
+        models=m,
+    )
+    assert s.resume_latents is not None
+    assert s.resume_latents.shape[0] == 1 and s.resume_latents.shape[2] == 16
+    s.generate_block(m)
+    # the 3 resume latents consumed half of the 2-block frame budget: the
+    # next block ends gracefully instead of slicing an empty noise block
+    import asyncio
+
+    with pytest.raises(asyncio.CancelledError):
+        s.generate_block(m)
+    total = sum(f.shape[1] for f in frames)
+    assert total == 6  # 1+4+4 decoded, first 3 dropped
+    assert all(np.isfinite(f).all() for f in frames)
