@@ -16,6 +16,8 @@ import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "")  # real backend
+# a Pallas regression must fail the bench loudly, not silently cost ~1.7x
+os.environ.setdefault("RTV_STRICT_KERNELS", "1")
 
 
 def main() -> None:
@@ -123,6 +125,15 @@ def main() -> None:
     px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
     px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16), vcache)
     jax.device_get(px[0, -1, :2, :2])
+
+    if on_tpu:
+        # the hot attention entries must have traced onto the Pallas kernels
+        for entry in ("decode", "prefill"):
+            path = attn_ops.KERNEL_PATHS.get(entry)
+            assert path == "pallas", (
+                f"{entry} attention traced onto {path!r}, expected the Pallas "
+                "fast path — kernel regression"
+            )
 
     # timed: steady-state blocks (recompute-prefill + denoise + decode).
     # All blocks are enqueued via JAX async dispatch and synced once — the

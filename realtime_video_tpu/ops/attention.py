@@ -25,6 +25,15 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30  # large-negative instead of -inf: avoids NaNs for all-masked rows
 
+# Which path each entry point last took ("pallas" | "xla"), recorded at trace
+# time. bench.py asserts the hot entries traced onto the Pallas path so a
+# kernel regression fails loudly instead of silently costing ~1.7x.
+KERNEL_PATHS: dict = {}
+
+
+def _strict() -> bool:
+    return os.getenv("RTV_STRICT_KERNELS", "0") in ("1", "true")
+
 
 def _use_pallas() -> bool:
     if os.getenv("RTV_DISABLE_PALLAS", "0") in ("1", "true"):
@@ -46,13 +55,17 @@ def attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if _use_pallas():
+    if _use_pallas() and mask is None:
         try:
             from realtime_video_tpu.ops.pallas_attention import flash_attention
 
-            return flash_attention(q, k, v, mask=mask, scale=scale)
-        except Exception:  # pragma: no cover — fall back to XLA on any failure
-            pass
+            out = flash_attention(q, k, v, mask=mask, scale=scale)
+            KERNEL_PATHS["attention"] = "pallas"
+            return out
+        except Exception:  # pragma: no cover — fall back to XLA on failure
+            if _strict():
+                raise
+    KERNEL_PATHS["attention"] = "xla"
     return xla_attention(q, k, v, mask=mask, scale=scale)
 
 
@@ -174,11 +187,15 @@ def block_causal_attention(
         try:
             from realtime_video_tpu.ops import pallas_attention
 
-            return pallas_attention.prefill_attention(
+            out = pallas_attention.prefill_attention(
                 q, k, v, block_tokens, local_window
             )
+            KERNEL_PATHS["prefill"] = "pallas"
+            return out
         except Exception:  # pragma: no cover
-            pass
+            if _strict():
+                raise
+    KERNEL_PATHS["prefill"] = "xla"
     L = q.shape[1]
     q_idx = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
@@ -204,9 +221,13 @@ def decode_attention(
         try:
             from realtime_video_tpu.ops import pallas_attention
 
-            return pallas_attention.decode_attention(q, k, v, lo, hi)
+            out = pallas_attention.decode_attention(q, k, v, lo, hi)
+            KERNEL_PATHS["decode"] = "pallas"
+            return out
         except Exception:  # pragma: no cover
-            pass
+            if _strict():
+                raise
+    KERNEL_PATHS["decode"] = "xla"
     num_kv = k.shape[1]
     kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, num_kv), 1)
     valid = (kv_pos >= lo) & (kv_pos < hi)

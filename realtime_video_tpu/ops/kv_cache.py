@@ -85,15 +85,22 @@ def plan_kv_update(
     """
     current_end = current_start + num_new
     appended = current_end - kv["global_end"]  # 0 on re-denoise of same block
-    naive_local_end = kv["local_end"] + appended
     if rolling:
-        overflow = (current_end > kv["global_end"]) & (naive_local_end > cache_size)
-        shift = jnp.where(overflow, naive_local_end - cache_size, 0)
+        # Reference math (causal_model.py:363-368): the evicted amount is
+        # num_new + local_end - cache_size — based on the full write length,
+        # NOT the net appended amount. The two differ when a write partially
+        # overlaps already-cached positions (current_start < global_end <
+        # current_end). sink_tokens only affects WHERE the shift applies
+        # (shift_layer_cache pins the sink region), not the amount.
+        overflow = (current_end > kv["global_end"]) & (
+            num_new + kv["local_end"] > cache_size
+        )
+        shift = jnp.where(overflow, num_new + kv["local_end"] - cache_size, 0)
     else:
         shift = jnp.zeros((), jnp.int32)
-    new_local_end = naive_local_end - shift
-    write_start = new_local_end - num_new
     del sink_tokens  # shift application handles the sink region
+    new_local_end = kv["local_end"] + appended - shift
+    write_start = new_local_end - num_new
     return shift, write_start, current_end, new_local_end
 
 

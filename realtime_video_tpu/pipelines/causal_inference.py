@@ -211,13 +211,9 @@ class CausalInferencePipeline:
             tb0 = time.perf_counter()
             lo = current_start_frame - num_input_frames
             noisy_input = noise[:, lo : lo + current_num_frames]
-            if current_num_frames != self.num_frame_per_block:
-                fn = self._get_block_fn(
-                    self.denoising_step_list, self.context_noise, max_attn
-                )
-            else:
-                fn = block_fn
-            x0, self.kv_cache, rng = fn(
+            # a 1-frame first block (independent_first_frame) reuses the same
+            # jitted fn: jax.jit specialises per input shape automatically
+            x0, self.kv_cache, rng = block_fn(
                 self.generator.params, self.kv_cache, self.crossattn_cache,
                 noisy_input, current_start_frame * fsl, rng,
             )

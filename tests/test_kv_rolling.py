@@ -81,6 +81,46 @@ def test_rolling_eviction_matches_reference_sim(sink):
     np.testing.assert_array_equal(got_buf[:got_l], ref_buf[:ref_l])
 
 
+@pytest.mark.parametrize("sink", [0, 1, 3])
+def test_rolling_redenoise_at_overflow_boundary(sink):
+    """Adversarial: repeated re-denoise of the SAME block exactly when the
+    cache is full (every later write evicts), with sink tokens pinned. The
+    re-denoise writes (same current_start) must re-write in place without a
+    second eviction; the next advancing write must evict again."""
+    cache_size = 9
+    block = 3
+    writes = []
+    tok = 1
+    for blk in range(8):
+        start = blk * block
+        ids = list(range(tok, tok + block))
+        tok += block
+        writes.append((start, ids))
+        writes.append((start, ids))  # re-denoise 1
+        writes.append((start, ids))  # re-denoise 2
+    ref_buf, ref_g, ref_l = reference_sim(writes, cache_size, sink)
+    got_buf, got_g, got_l = jax_sim(writes, cache_size, sink)
+    assert (got_g, got_l) == (ref_g, ref_l)
+    np.testing.assert_array_equal(got_buf[:got_l], ref_buf[:ref_l])
+
+
+def test_rolling_partial_overlap_write_matches_reference():
+    """Adversarial: a write that partially overlaps cached positions
+    (current_start < global_end < current_end). The reference evicts
+    num_new + local_end - cache_size (full write length), not the net
+    appended amount — plan_kv_update must match."""
+    cache_size = 8
+    writes = [
+        (0, [1, 2, 3, 4]),
+        (4, [5, 6, 7, 8]),       # cache now full, local_end = 8
+        (6, [9, 10, 11, 12]),    # overlaps positions 6-7, appends 2, evicts 4
+    ]
+    ref_buf, ref_g, ref_l = reference_sim(writes, cache_size, sink_tokens=0)
+    got_buf, got_g, got_l = jax_sim(writes, cache_size, sink_tokens=0)
+    assert (got_g, got_l) == (ref_g, ref_l)
+    np.testing.assert_array_equal(got_buf[:got_l], ref_buf[:ref_l])
+
+
 def test_nonrolling_never_shifts():
     cache_size = 12
     writes = [(0, [1, 2, 3]), (3, [4, 5, 6]), (3, [7, 8, 9])]
