@@ -11,14 +11,29 @@ computed in-kernel from scalar bounds instead of dense mask tensors:
     ends[q] = (q // block_tokens + 1) * block_tokens, optional local window
     (get_block_mask semantics, causal_model.py:108-141).
 
-Grid is (B, N, Q_blocks, KV_blocks) with KV innermost; running max/sum/acc
-live in VMEM scratch across the KV sweep; fully-masked KV tiles are skipped.
-Inputs are padded to tile multiples by the wrappers; scalar bounds keep the
-pad out of the softmax.
+Perf structure (v2 — the VPU was the round-1 bottleneck at 29% MXU):
+  * two-level KV tiling: a BKM-wide DMA (major) tile, processed as unrolled
+    BK-wide compute sub-tiles, so Mosaic can overlap sub-tile i+1's QK^T
+    (MXU) with sub-tile i's softmax update (VPU);
+  * softmax scale and log2(e) are folded into q by the wrappers and the
+    kernel exponentiates with exp2 — no per-element scale multiply;
+  * decode-window masking is column-only, so it is applied as a [1, BK]
+    additive bias broadcast over rows (1 VPU op/element instead of ~7);
+  * prefill masking builds ends[q] as a [BQ, 1] column against a [1, BK]
+    row (2 compares + select), with block_tokens/local_window static.
+
+Grid is (B, N, Q_blocks, KV_major_blocks) with KV innermost; running
+max/sum/acc live in VMEM scratch across the KV sweep; fully-masked major
+tiles are skipped. Inputs are padded to tile multiples by the wrappers;
+masking keeps the pad out of the softmax (an all-masked sub-tile is
+self-healing: its unit contributions are cancelled by the exp2(m_prev -
+m_new) = 0 correction once a live tile arrives, and rows that never see a
+live column are sliced away by the wrappers).
 """
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -27,11 +42,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-import os as _os
+LOG2E = 1.4426950408889634
 
-BQ = int(_os.getenv("RTV_ATTN_BQ", "512"))  # measured: 512/1024 beats 256/512 by 14%
-BK = int(_os.getenv("RTV_ATTN_BK", "1024"))
-# int8 QK^T tier (SageAttention analog) — opt-in until measured end-to-end
+# measured on one v5e at decode shapes (4680 q / 9360 kv / 12 heads):
+# 1024/2048/1024 -> 2.81 ms/layer vs round-1's 4.78 ms (512/1024 single-level)
+BQ = int(_os.getenv("RTV_ATTN_BQ", "1024"))
+BKM = int(_os.getenv("RTV_ATTN_BKM", "2048"))  # major (DMA) KV tile
+BK = int(_os.getenv("RTV_ATTN_BK", "1024"))  # inner (compute) KV sub-tile
+# int8 QK^T tier (SageAttention analog) — opt-in; measured slower end-to-end
+# at serving shapes (6.89 vs 7.67 fps) because the dynamic per-row
+# quantization VPU work outweighs the int8 MXU gain.
 INT8_QK = _os.getenv("RTV_ATTN_INT8", "0") in ("1", "true")
 
 
@@ -40,20 +60,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_kernel(
-    # scalar prefetch: [lo, hi, block_tokens, local_window] int32
+    # scalar prefetch: [lo, hi] int32 (window mode; prefill bounds are static)
     bounds_ref,
-    q_ref,  # [1, 1, BQ, D]
-    k_ref,  # [1, 1, BK, D]
-    v_ref,  # [1, 1, BK, D]
+    q_ref,  # [1, 1, BQ, D] — pre-scaled by softmax_scale * log2(e)
+    k_ref,  # [1, 1, BKM, D]
+    v_ref,  # [1, 1, BKM, D]
     o_ref,  # [1, 1, BQ, D]
-    m_scr,  # [BQ, 1] f32
+    m_scr,  # [BQ, 1] f32 (log2 domain)
     l_scr,  # [BQ, 1] f32
     acc_scr,  # [BQ, D] f32
     *,
-    scale: float,
     mode: str,  # "window" | "block_causal"
     kv_len: int,
-    int8_qk: bool = False,
+    block_tokens: int,
+    local_window: Optional[int],
+    bq: int,
+    bkm: int,
+    bk: int,
+    int8_qk: bool,
 ):
     ki = pl.program_id(3)
     qi = pl.program_id(2)
@@ -65,74 +89,82 @@ def _flash_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    lo = bounds_ref[0]
-    hi = bounds_ref[1]
-    block_tokens = bounds_ref[2]
-    local_window = bounds_ref[3]
-
-    kv_base = ki * BK
-    q_base = qi * BQ
+    kvm_base = ki * bkm
+    q_base = qi * bq
 
     if mode == "window":
-        # any overlap between [kv_base, kv_base+BK) and [lo, hi)?
-        live = (kv_base < hi) & (kv_base + BK > lo)
+        lo = bounds_ref[0]
+        hi = bounds_ref[1]
+        live = (kvm_base < hi) & (kvm_base + bkm > lo)
     else:
-        # block-causal: max end over this q tile is
-        # ((q_base+BQ-1)//bt + 1) * bt; min start is max(0, end_min - window)
-        q_last = q_base + BQ - 1
+        # block-causal: max end over this q tile; min start given the window
+        q_last = q_base + bq - 1
         end_max = (q_last // block_tokens + 1) * block_tokens
-        end_min = (q_base // block_tokens + 1) * block_tokens
-        lo_min = jnp.maximum(end_min - local_window, 0)
-        live = (kv_base < end_max) & (kv_base + BK > lo_min)
+        if local_window is None:
+            lo_min = 0
+        else:
+            end_min = (q_base // block_tokens + 1) * block_tokens
+            lo_min = jnp.maximum(end_min - local_window, 0)
+        live = (kvm_base < end_max) & (kvm_base + bkm > lo_min)
 
     @pl.when(live)
     def _compute():
         q = q_ref[0, 0, :, :]
-        k = k_ref[0, 0, :, :]
-        v = v_ref[0, 0, :, :]
-        if int8_qk:
-            # SageAttention analog (sage.py / install_sage.sh tier): dynamic
-            # per-row int8 QK^T on the MXU at 2x bf16 throughput. Softmax is
-            # invariant to a per-q-row constant, so K is mean-smoothed first
-            # (q·mean(k) shifts every logit in a row equally).
-            km = jnp.mean(k.astype(jnp.float32), axis=0, keepdims=True)
-            kf = k.astype(jnp.float32) - km
-            qf = q.astype(jnp.float32)
-            sq = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0 + 1e-8
-            sk = jnp.max(jnp.abs(kf), axis=1, keepdims=True) / 127.0 + 1e-8
-            qi = jnp.round(qf / sq).astype(jnp.int8)
-            ki8 = jnp.round(kf / sk).astype(jnp.int8)
-            s32 = jax.lax.dot_general(
-                qi, ki8, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
+        # unrolled sub-tile sweep: sub-tile i+1's QK^T has no dependency on
+        # sub-tile i's softmax chain, so the scheduler can overlap MXU & VPU
+        for si in range(bkm // bk):
+            kv_base = kvm_base + si * bk
+            k = k_ref[0, 0, si * bk : (si + 1) * bk, :]
+            v = v_ref[0, 0, si * bk : (si + 1) * bk, :]
+            if int8_qk:
+                # SageAttention analog: dynamic per-row int8 QK^T at 2x bf16
+                # MXU throughput. Softmax is invariant to a per-q-row
+                # constant, so K is mean-smoothed first. (q is pre-scaled, so
+                # the sq scale already carries softmax_scale * log2e.)
+                km = jnp.mean(k.astype(jnp.float32), axis=0, keepdims=True)
+                kf = k.astype(jnp.float32) - km
+                qf = q.astype(jnp.float32)
+                sq = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0 + 1e-8
+                sk = jnp.max(jnp.abs(kf), axis=1, keepdims=True) / 127.0 + 1e-8
+                qi8 = jnp.round(qf / sq).astype(jnp.int8)
+                ki8 = jnp.round(kf / sk).astype(jnp.int8)
+                s32 = jax.lax.dot_general(
+                    qi8, ki8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                s = s32.astype(jnp.float32) * (sq * sk.T)  # [bq, bk]
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bq, bk], already in log2 units
+
+            col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+            if mode == "window":
+                # column-only validity -> additive bias broadcast over rows
+                bias = jnp.where((col >= lo) & (col < hi), 0.0, NEG_INF)
+                s = s + bias
+            else:
+                q_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+                ends = jnp.minimum(
+                    (q_pos // block_tokens + 1) * block_tokens, kv_len
+                )
+                valid = col < ends
+                if local_window is not None:
+                    valid = valid & (col >= ends - local_window)
+                    valid = valid | (q_pos == col)
+                s = jnp.where(valid, s, NEG_INF)
+
+            m_prev = m_scr[...]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2(s - m_new)
+            l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            s = s32.astype(jnp.float32) * (sq * sk.T) * scale  # [BQ, BK]
-        else:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale  # [BQ, BK]
-
-        kv_pos = kv_base + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-        if mode == "window":
-            valid = (kv_pos >= lo) & (kv_pos < hi)
-        else:
-            q_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-            ends = (q_pos // block_tokens + 1) * block_tokens
-            valid = (kv_pos < ends) & (kv_pos >= ends - local_window)
-            valid = valid | (q_pos == kv_pos)
-        valid = valid & (kv_pos < kv_len)
-        s = jnp.where(valid, s, NEG_INF)
-
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_prev - m_new)
-        l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[...] = m_new
+            m_scr[...] = m_new
 
     @pl.when(ki == nk - 1)
     def _finish():
@@ -141,19 +173,24 @@ def _flash_kernel(
 
 
 def _flash_call(
-    q: jnp.ndarray,  # [B, N, Lq, D] (Lq padded to BQ) — BNLD so block tiles
+    q: jnp.ndarray,  # [B, N, Lq, D] (Lq padded) — BNLD so block tiles
     k: jnp.ndarray,  # [B, N, Lk, D]   satisfy the (8,128) lowering constraint
     v: jnp.ndarray,
-    bounds: jnp.ndarray,  # [4] int32
-    scale: float,
+    bounds: jnp.ndarray,  # [2] int32 (lo, hi) — window mode only
     mode: str,
     kv_len: int,
+    block_tokens: int = 1,
+    local_window: Optional[int] = None,
+    bq: int = 0,
+    bkm: int = 0,
+    bk: int = 0,
 ) -> jnp.ndarray:
     b, n, lq, d = q.shape
     lk = k.shape[2]
-    grid = (b, n, lq // BQ, lk // BK)
+    grid = (b, n, lq // bq, lk // bkm)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, mode=mode, kv_len=kv_len, int8_qk=INT8_QK
+        _flash_kernel, mode=mode, kv_len=kv_len, block_tokens=block_tokens,
+        local_window=local_window, bq=bq, bkm=bkm, bk=bk, int8_qk=INT8_QK,
     )
     return pl.pallas_call(
         kernel,
@@ -161,17 +198,17 @@ def _flash_call(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, BQ, d), lambda b_, n_, qi, ki, bounds: (b_, n_, qi, 0)),
-                pl.BlockSpec((1, 1, BK, d), lambda b_, n_, qi, ki, bounds: (b_, n_, ki, 0)),
-                pl.BlockSpec((1, 1, BK, d), lambda b_, n_, qi, ki, bounds: (b_, n_, ki, 0)),
+                pl.BlockSpec((1, 1, bq, d), lambda b_, n_, qi, ki, bounds: (b_, n_, qi, 0)),
+                pl.BlockSpec((1, 1, bkm, d), lambda b_, n_, qi, ki, bounds: (b_, n_, ki, 0)),
+                pl.BlockSpec((1, 1, bkm, d), lambda b_, n_, qi, ki, bounds: (b_, n_, ki, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, BQ, d), lambda b_, n_, qi, ki, bounds: (b_, n_, qi, 0)
+                (1, 1, bq, d), lambda b_, n_, qi, ki, bounds: (b_, n_, qi, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((BQ, 1), jnp.float32),
-                pltpu.VMEM((BQ, 1), jnp.float32),
-                pltpu.VMEM((BQ, d), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -181,6 +218,16 @@ def _flash_call(
     )(bounds, q, k, v)
 
 
+def _tiles_for(lq: int, lk: int):
+    """Adapt tile sizes to short sequences (e.g. 512-token cross-attn KV) so
+    padding does not multiply the sweep cost."""
+    bq = min(BQ, _round_up(lq, 128))
+    bk = min(BK, _round_up(lk, 128))
+    bkm = min(BKM, _round_up(lk, bk))
+    bkm = (bkm // bk) * bk  # bkm must be a multiple of bk
+    return bq, bkm, bk
+
+
 def _pad_seq(x: jnp.ndarray, mult: int) -> jnp.ndarray:
     """Pad the L axis of [B, N, L, D] to a multiple of `mult`."""
     L = x.shape[2]
@@ -188,6 +235,11 @@ def _pad_seq(x: jnp.ndarray, mult: int) -> jnp.ndarray:
     if pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
     return x
+
+
+def _prescale(q: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Fold softmax scale and log2(e) into q (kernel exponentiates via exp2)."""
+    return (q * jnp.asarray(scale * LOG2E, q.dtype)).astype(q.dtype)
 
 
 def decode_attention(
@@ -206,14 +258,15 @@ def decode_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     Lq, Lk = q.shape[1], k.shape[1]
-    qp = _pad_seq(q.transpose(0, 2, 1, 3), BQ)
-    kp = _pad_seq(k.transpose(0, 2, 1, 3), BK)
-    vp = _pad_seq(v.transpose(0, 2, 1, 3), BK)
+    bq, bkm, bk = _tiles_for(Lq, Lk)
+    qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
+    kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
+    vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
     bounds = jnp.stack(
-        [jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32),
-         jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32)]
+        [jnp.asarray(lo, jnp.int32),
+         jnp.minimum(jnp.asarray(hi, jnp.int32), Lk)]
     )
-    out = _flash_call(qp, kp, vp, bounds, scale, "window", Lk)
+    out = _flash_call(qp, kp, vp, bounds, "window", Lk, bq=bq, bkm=bkm, bk=bk)
     return out[:, :, :Lq].transpose(0, 2, 1, 3)
 
 
@@ -225,20 +278,23 @@ def prefill_attention(
     local_window: Optional[int] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Blockwise-causal self attention: kv < ends[q], optional local window."""
+    """Blockwise-causal self attention: kv < ends[q], optional local window.
+
+    block_tokens and local_window are static Python ints — the mask math
+    compiles to constants per tile."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     Lq, Lk = q.shape[1], k.shape[1]
-    if local_window is None:
-        local_window = 1 << 30
-    qp = _pad_seq(q.transpose(0, 2, 1, 3), BQ)
-    kp = _pad_seq(k.transpose(0, 2, 1, 3), BK)
-    vp = _pad_seq(v.transpose(0, 2, 1, 3), BK)
-    bounds = jnp.stack(
-        [jnp.zeros((), jnp.int32), jnp.asarray(Lk, jnp.int32),
-         jnp.asarray(block_tokens, jnp.int32), jnp.asarray(local_window, jnp.int32)]
+    bq, bkm, bk = _tiles_for(Lq, Lk)
+    qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
+    kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
+    vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
+    bounds = jnp.zeros((2,), jnp.int32)  # unused in block_causal mode
+    out = _flash_call(
+        qp, kp, vp, bounds, "block_causal", Lk,
+        block_tokens=block_tokens, local_window=local_window,
+        bq=bq, bkm=bkm, bk=bk,
     )
-    out = _flash_call(qp, kp, vp, bounds, scale, "block_causal", Lk)
     return out[:, :, :Lq].transpose(0, 2, 1, 3)
 
 
