@@ -88,6 +88,18 @@ def main() -> None:
     cross = gen.compute_crossattn_cache(gen.params, ctx)
     cache_size = kv_frames * fsl
     kv = kvc.init_kv_cache(cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim)
+
+    # tp-shard the serving state when a mesh is attached (a v5p/v5e pod slice;
+    # the single tunnel chip stays unsharded). Heads shard over "tp"; GSPMD
+    # emits the per-layer collectives.
+    if len(jax.devices()) > 1 and not tiny:
+        from realtime_video_tpu.parallel.mesh import make_mesh
+        from realtime_video_tpu.parallel.plan import shard_for_serving
+
+        n = len(jax.devices())
+        tp = max(d for d in (8, 4, 2, 1) if n % d == 0 and cfg.num_heads % d == 0)
+        mesh = make_mesh({"tp": tp}, devices=jax.devices()[:tp])
+        gen.params, kv, cross = shard_for_serving(gen.params, kv, cross, mesh)
     schedule = gen.schedule
 
     del schedule
@@ -142,12 +154,32 @@ def main() -> None:
     profile_dir = os.getenv("RTV_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
+    # anti-drift first-frame re-encode: the serving session re-encodes the
+    # oldest cached pixel frame through the VAE encoder every post-warmup
+    # block (session.py get_clean_context_frames / release_server.py:573-575).
+    # Round 1 omitted this cost; include it so the bench is the true hot path.
+    reencode = (
+        os.getenv("RTV_BENCH_REENCODE", "1") in ("1", "true")
+        and not tiny and not use_taehv
+    )
+    if reencode:
+        enc_in = px[:, -1:].astype(jnp.float32)  # [1,1,3,H,W] from the decode
+        first_lat = vae.encode_to_latent(enc_in)  # warm/compile
+        jax.device_get(first_lat[0, 0, 0, 0, :2])
+
     frames_out = 0
     outs = []
     t0 = time.perf_counter()
     for blk in range(num_blocks):
+        if reencode:
+            first_lat = vae.encode_to_latent(px[:, -1:].astype(jnp.float32))
+            ctx_in = jnp.concatenate(
+                [first_lat.astype(ctx_frames.dtype), ctx_frames[:, 1:]], axis=1
+            )
+        else:
+            ctx_in = ctx_frames
         x0, kv, rng = step_fn(
-            gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
+            gen.params, kv, cross, ctx_in, noise, (kv_frames - nfpb) * fsl, rng
         )
         for i in range(x0.shape[1]):
             px, vcache = vae.decode_block(

@@ -53,6 +53,18 @@ BK = int(_os.getenv("RTV_ATTN_BK", "1024"))  # inner (compute) KV sub-tile
 # at serving shapes (6.89 vs 7.67 fps) because the dynamic per-row
 # quantization VPU work outweighs the int8 MXU gain.
 INT8_QK = _os.getenv("RTV_ATTN_INT8", "0") in ("1", "true")
+# skewed software pipeline for decode-window attention: V lags K by one grid
+# step and scores spill to a double-buffered VMEM scratch, so tile k+1's
+# QK^T (MXU) is data-independent of tile k's softmax (VPU) within one step.
+# Measured SLOWER (3.59 vs 2.81 ms/layer): the scratch spill traffic beats
+# any overlap Mosaic finds. Kept opt-in for re-testing on other chips.
+SKEW = _os.getenv("RTV_ATTN_SKEW", "0") in ("1", "true")
+# static-max softmax: qk-normed logits are bounded, so a per-call upper bound
+# M (from max row norms of q and k) replaces the running max — no rowmax
+# pass, no alpha corrections, no serial m-chain across KV tiles. M cancels
+# exactly in acc/l; only underflow (s_max - M < -126 in log2 units) could
+# bite, impossible at these norms.
+STATIC_MAX = _os.getenv("RTV_ATTN_STATICMAX", "0") in ("1", "true")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -172,6 +184,216 @@ def _flash_kernel(
         o_ref[0, 0, :, :] = (acc_scr[...] / l).astype(o_ref.dtype)
 
 
+def _staticmax_kernel(
+    bounds_ref,  # [lo, hi] int32
+    m_ref,  # [1] f32 — upper bound on the (pre-scaled, log2-domain) logits
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BKM, D]
+    v_ref,  # [1, 1, BKM, D]
+    o_ref,  # [1, 1, BQ, D]
+    l_scr,  # [BQ, 1] f32
+    acc_scr,  # [BQ, D] f32
+    *,
+    bq: int,
+    bkm: int,
+    bk: int,
+):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+    lo = bounds_ref[0]
+    hi = bounds_ref[1]
+    M = m_ref[0]
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kvm_base = ki * bkm
+    live = (kvm_base < hi) & (kvm_base + bkm > lo)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0, :, :]
+        for si in range(bkm // bk):
+            kv_base = kvm_base + si * bk
+            k = k_ref[0, 0, si * bk : (si + 1) * bk, :]
+            v = v_ref[0, 0, si * bk : (si + 1) * bk, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+            bias = jnp.where((col >= lo) & (col < hi), -M, NEG_INF)
+            p = jnp.exp2(s + bias)  # p <= 1 by construction of M
+            l_scr[...] = l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[...], 1e-30)
+        o_ref[0, 0, :, :] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def _staticmax_call(
+    q: jnp.ndarray,  # [B, N, Lq, D] padded, pre-scaled
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bounds: jnp.ndarray,  # [2] int32
+    m_bound: jnp.ndarray,  # [1] f32
+    bq: int,
+    bkm: int,
+    bk: int,
+) -> jnp.ndarray:
+    b, n, lq, d = q.shape
+    lk = k.shape[2]
+    grid = (b, n, lq // bq, lk // bkm)
+    kernel = functools.partial(_staticmax_kernel, bq=bq, bkm=bkm, bk=bk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), lambda b_, n_, qi, ki, bounds, m: (b_, n_, qi, 0)),
+                pl.BlockSpec((1, 1, bkm, d), lambda b_, n_, qi, ki, bounds, m: (b_, n_, ki, 0)),
+                pl.BlockSpec((1, 1, bkm, d), lambda b_, n_, qi, ki, bounds, m: (b_, n_, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, d), lambda b_, n_, qi, ki, bounds, m: (b_, n_, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(bounds, m_bound, q, k, v)
+
+
+def _logit_bound(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """[1] f32 upper bound on q·k over all (row, col) pairs: max row norm of
+    q times max row norm of k (q already carries scale*log2e)."""
+    qn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)))
+    kn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)))
+    return (qn * kn)[None] + 1e-3
+
+
+def _skew_kernel(
+    bounds_ref,  # [lo, hi] int32
+    q_ref,  # [1, 1, BQ, D] — pre-scaled by softmax_scale * log2(e)
+    k_ref,  # [1, 1, BK, D]  tile min(ki, nk-1)
+    v_ref,  # [1, 1, BK, D]  tile max(ki-1, 0)  (lags K by one step)
+    o_ref,  # [1, 1, BQ, D]
+    s_scr,  # [2, BQ, BK] f32 — double-buffered scores
+    m_scr,  # [BQ, 1] f32
+    l_scr,  # [BQ, 1] f32
+    acc_scr,  # [BQ, D] f32
+    *,
+    bq: int,
+    bk: int,
+    nk: int,  # real KV tiles; the grid runs nk+1 steps
+):
+    ki = pl.program_id(3)
+    lo = bounds_ref[0]
+    hi = bounds_ref[1]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # phase A: score tile min(ki, nk-1) -> s_scr[ki % 2]. Unconditional
+    # straight-line code (dead columns masked by the bias; a fully-masked
+    # tile contributes 0 via the exp2 corrections) to maximise the
+    # scheduler's freedom to overlap with phase B's VPU chain.
+    kt = jnp.minimum(ki, nk - 1)
+    kv_base = kt * bk
+    q = q_ref[0, 0, :, :]
+    s = jax.lax.dot_general(
+        q, k_ref[0, 0, :, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    bias = jnp.where((col >= lo) & (col < hi), 0.0, NEG_INF)
+    s_scr[ki % 2] = s + bias
+
+    # phase B: online-softmax + PV for tile ki-1 (scores from the other
+    # scratch buffer, V from the lagged input block)
+    @pl.when(ki > 0)
+    def _process():
+        sp = s_scr[(ki + 1) % 2]
+        v = v_ref[0, 0, :, :]
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(sp, axis=1, keepdims=True))
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(sp - m_new)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = m_new
+
+    @pl.when(ki == nk)
+    def _finish():
+        l = jnp.maximum(l_scr[...], 1e-20)
+        o_ref[0, 0, :, :] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def _skew_call(
+    q: jnp.ndarray,  # [B, N, Lq, D] padded
+    k: jnp.ndarray,  # [B, N, Lk, D] padded
+    v: jnp.ndarray,
+    bounds: jnp.ndarray,  # [2] int32
+    bq: int,
+    bk: int,
+) -> jnp.ndarray:
+    b, n, lq, d = q.shape
+    lk = k.shape[2]
+    nk = lk // bk
+    grid = (b, n, lq // bq, nk + 1)
+    kernel = functools.partial(_skew_kernel, bq=bq, bk=bk, nk=nk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), lambda b_, n_, qi, ki, bounds: (b_, n_, qi, 0)),
+                pl.BlockSpec(
+                    (1, 1, bk, d),
+                    lambda b_, n_, qi, ki, bounds: (b_, n_, jnp.minimum(ki, nk - 1), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bk, d),
+                    lambda b_, n_, qi, ki, bounds: (b_, n_, jnp.maximum(ki - 1, 0), 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, d), lambda b_, n_, qi, ki, bounds: (b_, n_, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bq, bk), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(bounds, q, k, v)
+
+
 def _flash_call(
     q: jnp.ndarray,  # [B, N, Lq, D] (Lq padded) — BNLD so block tiles
     k: jnp.ndarray,  # [B, N, Lk, D]   satisfy the (8,128) lowering constraint
@@ -259,13 +481,27 @@ def decode_attention(
         scale = q.shape[-1] ** -0.5
     Lq, Lk = q.shape[1], k.shape[1]
     bq, bkm, bk = _tiles_for(Lq, Lk)
-    qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
-    kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
-    vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
     bounds = jnp.stack(
         [jnp.asarray(lo, jnp.int32),
          jnp.minimum(jnp.asarray(hi, jnp.int32), Lk)]
     )
+    if SKEW and not INT8_QK:
+        bq = min(bq, 512)  # s_scr is [2, bq, bk] f32 — bound VMEM
+        qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
+        kp = _pad_seq(k.transpose(0, 2, 1, 3), bk)
+        vp = _pad_seq(v.transpose(0, 2, 1, 3), bk)
+        out = _skew_call(qp, kp, vp, bounds, bq=bq, bk=bk)
+        return out[:, :, :Lq].transpose(0, 2, 1, 3)
+    if STATIC_MAX and not INT8_QK:
+        qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
+        kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
+        vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
+        m_bound = _logit_bound(qp, k)
+        out = _staticmax_call(qp, kp, vp, bounds, m_bound, bq=bq, bkm=bkm, bk=bk)
+        return out[:, :, :Lq].transpose(0, 2, 1, 3)
+    qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
+    kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
+    vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
     out = _flash_call(qp, kp, vp, bounds, "window", Lk, bq=bq, bkm=bkm, bk=bk)
     return out[:, :, :Lq].transpose(0, 2, 1, 3)
 

@@ -10,7 +10,11 @@ import jax.numpy as jnp
 
 from realtime_video_tpu.config import SAMPLE_NEG_PROMPT
 from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
-from realtime_video_tpu.solvers import FlowDPMSolverMultistep, FlowUniPCMultistep
+from realtime_video_tpu.solvers import (
+    FlowDPMSolverMultistep,
+    FlowUniPCMultistep,
+    get_sampling_sigmas,
+)
 
 
 class BidirectionalDiffusionInferencePipeline:
@@ -61,7 +65,15 @@ class BidirectionalDiffusionInferencePipeline:
             solver = FlowUniPCMultistep(shift=self.shift)
         else:
             solver = FlowDPMSolverMultistep(shift=self.shift)
-        solver.set_timesteps(self.sampling_steps, shift=self.shift)
+        if isinstance(solver, FlowDPMSolverMultistep):
+            # the reference dpm++ path feeds an explicit ladder
+            # (causal_diffusion_inference.py:335-339)
+            solver.set_timesteps(
+                self.sampling_steps, shift=self.shift,
+                sigmas=get_sampling_sigmas(self.sampling_steps, self.shift),
+            )
+        else:
+            solver.set_timesteps(self.sampling_steps, shift=self.shift)
 
         latent = noise
         for t_val in solver.timesteps:

@@ -16,7 +16,11 @@ import jax.numpy as jnp
 from realtime_video_tpu.config import SAMPLE_NEG_PROMPT
 from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
 from realtime_video_tpu.ops import kv_cache as kvc
-from realtime_video_tpu.solvers import FlowDPMSolverMultistep, FlowUniPCMultistep
+from realtime_video_tpu.solvers import (
+    FlowDPMSolverMultistep,
+    FlowUniPCMultistep,
+    get_sampling_sigmas,
+)
 
 
 class CausalDiffusionInferencePipeline:
@@ -52,7 +56,15 @@ class CausalDiffusionInferencePipeline:
             solver = FlowDPMSolverMultistep(shift=self.shift)
         else:
             raise NotImplementedError(f"Unsupported solver {self.sample_solver}")
-        solver.set_timesteps(self.sampling_steps, shift=self.shift)
+        if isinstance(solver, FlowDPMSolverMultistep):
+            # the reference dpm++ path feeds an explicit ladder
+            # (causal_diffusion_inference.py:335-339)
+            solver.set_timesteps(
+                self.sampling_steps, shift=self.shift,
+                sigmas=get_sampling_sigmas(self.sampling_steps, self.shift),
+            )
+        else:
+            solver.set_timesteps(self.sampling_steps, shift=self.shift)
         return solver
 
     def _init_caches(self, batch_size, fsl, dtype):

@@ -393,7 +393,10 @@ class GenerationSession:
                 return ctx[:, :1]
             return jnp.concatenate([ctx[:, :1], ctx[:, 1:][:, -(k - 1):]], axis=1)
         tail = ctx[:, 1:][:, -(k - 1):]
-        first_pixels = np.asarray(self.frame_context_cache[0][0], np.float32)  # [3,H,W]
+        # stays on device: the oldest cached pixel frame changes every block
+        # (rolling deque), so this VAE encode is paid per block — don't add a
+        # host round-trip on top (reference pulls .half() on GPU, :574)
+        first_pixels = self.frame_context_cache[0][0].astype(jnp.float32)  # [3,H,W]
         first_latent, _ = encode_video_latent(
             models.vae_encoder, None, resample_to=16, max_frames=81,
             frames=first_pixels[None], height=self.params.height,

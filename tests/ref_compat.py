@@ -59,16 +59,42 @@ def install_stubs() -> None:
         sys.modules["easydict"] = m
 
     if "diffusers" not in sys.modules:
+        import dataclasses
+        import enum
+        import functools
+        import inspect
+
         import torch.nn as nn
 
         diff = types.ModuleType("diffusers")
         cu = types.ModuleType("diffusers.configuration_utils")
 
         class ConfigMixin:
-            pass
+            def register_to_config(self, **kwargs):
+                cfg = getattr(self, "config", None)
+                if cfg is None:
+                    cfg = EasyDict()
+                    object.__setattr__(self, "config", cfg)
+                for k, v in kwargs.items():
+                    cfg[k] = v
 
-        def register_to_config(fn):
-            return fn
+        def register_to_config(init):
+            """Functional version of diffusers' decorator: capture the bound
+            init kwargs (with defaults) into an attribute-access `self.config`
+            BEFORE running init — the vendored fm_solvers read self.config
+            and call self.register_to_config() inside __init__."""
+
+            @functools.wraps(init)
+            def wrapped(self, *args, **kwargs):
+                sig = inspect.signature(init)
+                bound = sig.bind(self, *args, **kwargs)
+                bound.apply_defaults()
+                cfg = {k: v for k, v in list(bound.arguments.items())[1:]}
+                cfg.pop("kwargs", None)
+                self.config = EasyDict(cfg)
+                init(self, *args, **kwargs)
+
+            return wrapped
 
         cu.ConfigMixin = ConfigMixin
         cu.register_to_config = register_to_config
@@ -79,14 +105,56 @@ def install_stubs() -> None:
             pass
 
         mu.ModelMixin = ModelMixin
+
+        su_pkg = types.ModuleType("diffusers.schedulers")
+        su = types.ModuleType("diffusers.schedulers.scheduling_utils")
+
+        class KarrasDiffusionSchedulers(enum.Enum):
+            pass
+
+        class SchedulerMixin:
+            order = 1
+
+        @dataclasses.dataclass
+        class SchedulerOutput:
+            prev_sample: object
+
+        su.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+        su.SchedulerMixin = SchedulerMixin
+        su.SchedulerOutput = SchedulerOutput
+
+        du = types.ModuleType("diffusers.utils")
+
+        def deprecate(*a, **k):
+            return None
+
+        du.deprecate = deprecate
+        du.is_scipy_available = lambda: False
+        dtu = types.ModuleType("diffusers.utils.torch_utils")
+
+        def randn_tensor(shape, generator=None, device=None, dtype=None):
+            import torch
+
+            return torch.randn(shape, generator=generator, device=device, dtype=dtype)
+
+        dtu.randn_tensor = randn_tensor
+        du.torch_utils = dtu
+
         diff.configuration_utils = cu
         diff.models = models_pkg
         models_pkg.modeling_utils = mu
+        diff.schedulers = su_pkg
+        su_pkg.scheduling_utils = su
+        diff.utils = du
         sys.modules.update({
             "diffusers": diff,
             "diffusers.configuration_utils": cu,
             "diffusers.models": models_pkg,
             "diffusers.models.modeling_utils": mu,
+            "diffusers.schedulers": su_pkg,
+            "diffusers.schedulers.scheduling_utils": su,
+            "diffusers.utils": du,
+            "diffusers.utils.torch_utils": dtu,
         })
 
     # bypass wan/__init__.py: it imports configs/distributed/image2video which

@@ -56,6 +56,40 @@ def test_unpadded_1560_token_frames():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("lo,hi", [(0, 700), (100, 512), (0, 1024)])
+def test_skew_pipeline_matches_xla(monkeypatch, lo, hi):
+    """RTV_ATTN_SKEW variant (V lags K by one grid step, double-buffered score
+    scratch) must be numerically identical to the plain window kernel."""
+    monkeypatch.setattr(pat, "SKEW", True)
+    b, lq, lk, n, d = 1, 200, 1024, 2, 128
+    q, k, v = _rand((b, lq, n, d), 0), _rand((b, lk, n, d), 1), _rand((b, lk, n, d), 2)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lk), 1)
+    mask = ((kv_pos >= lo) & (kv_pos < hi))[None, None]
+    want = attn_ops.xla_attention(q, k, v, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = pat.decode_attention(
+            q, k, v, jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32)
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("lo,hi", [(0, 700), (100, 512)])
+def test_staticmax_matches_xla(monkeypatch, lo, hi):
+    """RTV_ATTN_STATICMAX variant (bounded-logit softmax without a running
+    max; the bound cancels exactly in acc/l)."""
+    monkeypatch.setattr(pat, "STATIC_MAX", True)
+    b, lq, lk, n, d = 1, 200, 1024, 2, 128
+    q, k, v = _rand((b, lq, n, d), 0), _rand((b, lk, n, d), 1), _rand((b, lk, n, d), 2)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lk), 1)
+    mask = ((kv_pos >= lo) & (kv_pos < hi))[None, None]
+    want = attn_ops.xla_attention(q, k, v, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = pat.decode_attention(
+            q, k, v, jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32)
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
 def test_int8_qk_tier_close_to_bf16(monkeypatch):
     """SageAttention-analog int8 QK^T (RTV_ATTN_INT8) stays within quantized
     tolerance of the fp path on decode-window shapes."""
