@@ -31,7 +31,11 @@ def main() -> None:
     p.add_argument("--lq", type=int, default=4680)
     p.add_argument("--lk", type=int, default=9360)
     p.add_argument("--heads", type=int, default=12)
+    p.add_argument("--cross", action="store_true",
+                   help="cross-attn shapes: 512-token KV, mask-free")
     args = p.parse_args()
+    if args.cross:
+        args.lk = 512
 
     import jax
     import jax.numpy as jnp
@@ -51,7 +55,11 @@ def main() -> None:
     lo = jnp.zeros((), jnp.int32)
     hi = jnp.asarray(lk, jnp.int32)
 
-    if args.xla:
+    if args.xla and args.cross:
+        def attn(q):
+            return attn_ops.xla_attention(q, k, v)  # mask-free cross-attn
+        label = "xla-cross"
+    elif args.xla:
         def attn(q):
             num_kv = k.shape[1]
             kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, num_kv), 1)

@@ -40,6 +40,14 @@ class CausalDiffusionInferencePipeline:
         self.kv_cache_neg = None
         self._fwd = jax.jit(self._forward_impl, static_argnames=("max_attn",),
                             donate_argnums=(1,))
+        # cond + uncond + guidance fused into ONE dispatch per denoise step —
+        # the reference pays two sequential model calls (:205-221); one
+        # program also keeps the 50-step teacher loop off the per-dispatch
+        # host overhead
+        self._fwd_cfg = jax.jit(
+            self._forward_cfg_impl, static_argnames=("max_attn",),
+            donate_argnums=(1, 2),
+        )
 
     # one decode-mode forward that also updates the given cache
     def _forward_impl(self, params, kv, cross, noisy, t, current_start, *, max_attn):
@@ -48,6 +56,21 @@ class CausalDiffusionInferencePipeline:
             mode="decode", max_attention_size=max_attn,
         )
         return flow, kv
+
+    def _forward_cfg_impl(self, params, kv_pos, kv_neg, cross_pos, cross_neg,
+                          noisy, t, current_start, guidance, *, max_attn):
+        flow_c, _, kv_pos = self.generator.forward(
+            params, noisy, cross_pos, t, kv_cache=kv_pos,
+            current_start=current_start, mode="decode",
+            max_attention_size=max_attn,
+        )
+        flow_u, _, kv_neg = self.generator.forward(
+            params, noisy, cross_neg, t, kv_cache=kv_neg,
+            current_start=current_start, mode="decode",
+            max_attention_size=max_attn,
+        )
+        flow = flow_u + guidance * (flow_c - flow_u)
+        return flow, kv_pos, kv_neg
 
     def _init_solver(self):
         if self.sample_solver == "unipc":
@@ -129,13 +152,10 @@ class CausalDiffusionInferencePipeline:
             solver = self._init_solver()
             for ti, t_val in enumerate(solver.timesteps):
                 t = jnp.full((b, self.num_frame_per_block), float(t_val), jnp.float32)
-                flow_c, self.kv_cache_pos = self._fwd(
-                    self.generator.params, self.kv_cache_pos, cross_pos,
-                    latent, t, current_start_frame * fsl, max_attn=max_attn)
-                flow_u, self.kv_cache_neg = self._fwd(
-                    self.generator.params, self.kv_cache_neg, cross_neg,
-                    latent, t, current_start_frame * fsl, max_attn=max_attn)
-                flow = flow_u + self.guidance_scale * (flow_c - flow_u)
+                flow, self.kv_cache_pos, self.kv_cache_neg = self._fwd_cfg(
+                    self.generator.params, self.kv_cache_pos, self.kv_cache_neg,
+                    cross_pos, cross_neg, latent, t, current_start_frame * fsl,
+                    self.guidance_scale, max_attn=max_attn)
                 latent = solver.step(flow, float(t_val), latent)
             outputs.append(latent)
 
