@@ -33,9 +33,13 @@ def main() -> None:
     p.add_argument("--heads", type=int, default=12)
     p.add_argument("--cross", action="store_true",
                    help="cross-attn shapes: 512-token KV, mask-free")
+    p.add_argument("--prefill", action="store_true",
+                   help="block-causal prefill shapes: Lq=Lk=4680, one block")
     args = p.parse_args()
     if args.cross:
         args.lk = 512
+    if args.prefill:
+        args.lk = args.lq
 
     import jax
     import jax.numpy as jnp
@@ -66,6 +70,10 @@ def main() -> None:
             valid = (kv_pos >= lo) & (kv_pos < hi)
             return attn_ops.xla_attention(q, k, v, mask=valid[None, None, :, :])
         label = "xla"
+    elif args.prefill:
+        def attn(q):
+            return pat.prefill_attention(q, k, v, block_tokens=4680)
+        label = f"pallas-prefill bq={pat.BQ} bkm={pat.BKM} bk={pat.BK}"
     else:
         def attn(q):
             return pat.decode_attention(q, k, v, lo, hi)

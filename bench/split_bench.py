@@ -22,6 +22,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-int8", action="store_true")
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--only", choices=["dit", "prefill", "vae", "all"],
+                    default="all", help="compile/measure one stage (tunnel "
+                    "compiles are minutes; run stages separately so each "
+                    "lands in the persistent cache)")
     args = ap.parse_args()
 
     import jax
@@ -86,27 +90,37 @@ def main() -> None:
         jax.random.PRNGKey(4), (1, kv_frames - nfpb, 16, lat_h, lat_w), jnp.bfloat16)
 
     # ---- DiT block step ----
-    x0, kv, rng = step_fn(gen.params, kv, cross, ctx_frames, noise,
+    dit_ms = prefill_ms = vae_ms = float("nan")
+    x0 = jax.random.normal(jax.random.PRNGKey(9), (1, nfpb, 16, lat_h, lat_w), jnp.bfloat16)
+    if args.only in ("dit", "all"):
+        x0, kv, rng = step_fn(gen.params, kv, cross, ctx_frames, noise,
                           (kv_frames - nfpb) * fsl, rng)
-    jax.device_get(x0[0, 0, 0, 0, :2])
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        x0, kv, rng = step_fn(gen.params, kv, cross, ctx_frames, x0.astype(noise.dtype),
-                              (kv_frames - nfpb) * fsl, rng)
-    jax.device_get(x0[0, -1, -1, -1, :2])
-    dit_ms = (time.perf_counter() - t0) / args.iters * 1e3
+        jax.device_get(x0[0, 0, 0, 0, :2])
+        print("dit compiled", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            x0, kv, rng = step_fn(gen.params, kv, cross, ctx_frames, x0.astype(noise.dtype),
+                                  (kv_frames - nfpb) * fsl, rng)
+        jax.device_get(x0[0, -1, -1, -1, :2])
+        dit_ms = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"DiT block step : {dit_ms:7.1f} ms", flush=True)
 
     # ---- prefill alone ----
-    kv = prefill_fn(gen.params, kv, cross, ctx_frames)
-    jax.device_get(kv["k"][0, 0, 0, 0, :2])
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        kv = prefill_fn(gen.params, kv, cross,
-                        (ctx_frames + kv["k"][0, 0, 0, 0, 0] * 1e-6).astype(ctx_frames.dtype))
-    jax.device_get(kv["k"][-1, 0, -1, 0, :2])
-    prefill_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    if args.only in ("prefill", "all"):
+        kv = prefill_fn(gen.params, kv, cross, ctx_frames)
+        jax.device_get(kv["k"][0, 0, 0, 0, :2])
+        print("prefill compiled", flush=True)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            kv = prefill_fn(gen.params, kv, cross,
+                            (ctx_frames + kv["k"][0, 0, 0, 0, 0] * 1e-6).astype(ctx_frames.dtype))
+        jax.device_get(kv["k"][-1, 0, -1, 0, :2])
+        prefill_ms = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"prefill        : {prefill_ms:7.1f} ms", flush=True)
 
     # ---- VAE decode (streamed per latent, 3 latents like one block) ----
+    if args.only not in ("vae", "all"):
+        return
     px, vc = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
     px, vc = vae.decode_block(x0[:, 1:2].astype(jnp.bfloat16), vc)
     jax.device_get(px[0, -1, 0, :2])
@@ -118,13 +132,14 @@ def main() -> None:
                 (z[:, j:j+1] + px[0, -1, 0, 0, 0].astype(z.dtype) * 1e-6), vc)
     jax.device_get(px[0, -1, -1, ::128, :2])
     vae_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    print(f"VAE decode     : {vae_ms:7.1f} ms / 3 latents (12 frames)", flush=True)
 
-    denoise_ms = dit_ms - prefill_ms
-    print(f"DiT block step : {dit_ms:7.1f} ms  (prefill {prefill_ms:.1f} + "
-          f"4-step denoise {denoise_ms:.1f} = {denoise_ms/4:.1f}/step)")
-    print(f"VAE decode     : {vae_ms:7.1f} ms / 3 latents (12 frames)")
-    total = dit_ms + vae_ms
-    print(f"block total    : {total:7.1f} ms -> {12.0 / (total/1e3):.2f} fps ceiling")
+    if args.only == "all":
+        denoise_ms = dit_ms - prefill_ms
+        print(f"(prefill {prefill_ms:.1f} + 4-step denoise {denoise_ms:.1f} "
+              f"= {denoise_ms/4:.1f}/step)")
+        total = dit_ms + vae_ms
+        print(f"block total    : {total:7.1f} ms -> {12.0 / (total/1e3):.2f} fps ceiling")
 
 
 if __name__ == "__main__":
