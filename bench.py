@@ -112,10 +112,9 @@ def main() -> None:
 
     def block_step(params, kv, cross, clean_ctx, noisy, current_start, rng):
         kv = kvc.reset_kv_cache(kv)
-        t0 = jnp.zeros(clean_ctx.shape[:2], jnp.float32)
-        _, kv = wan_dit.dit_forward(
-            gen.cfg, params, clean_ctx, t0, gen.rope, cross,
-            mode="prefill", kv_cache=kv, prefill_block_tokens=fsl * nfpb,
+        kv = wan_dit.context_prefill(
+            gen.cfg, params, clean_ctx, gen.rope, cross, kv,
+            block_tokens=fsl * nfpb, max_attention_size=cache_size,
         )
         return denoise(params, kv, cross, noisy, current_start, rng)
 
@@ -139,13 +138,14 @@ def main() -> None:
     jax.device_get(px[0, -1, :2, :2])
 
     if on_tpu:
-        # the hot attention entries must have traced onto the Pallas kernels
-        for entry in ("decode", "prefill"):
-            path = attn_ops.KERNEL_PATHS.get(entry)
-            assert path == "pallas", (
-                f"{entry} attention traced onto {path!r}, expected the Pallas "
-                "fast path — kernel regression"
-            )
+        # the hot attention entry must have traced onto the Pallas kernel
+        # (context_prefill routes the one-block context write through the
+        # decode program too, so "decode" covers the whole hot path)
+        path = attn_ops.KERNEL_PATHS.get("decode")
+        assert path == "pallas", (
+            f"decode attention traced onto {path!r}, expected the Pallas "
+            "fast path — kernel regression"
+        )
 
     # timed: steady-state blocks (recompute-prefill + denoise + decode).
     # All blocks are enqueued via JAX async dispatch and synced once — the

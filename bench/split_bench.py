@@ -22,7 +22,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-int8", action="store_true")
     ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--only", choices=["dit", "prefill", "vae", "all"],
+    ap.add_argument("--only", choices=["dit", "prefill", "denoise", "vae", "all"],
                     default="all", help="compile/measure one stage (tunnel "
                     "compiles are minutes; run stages separately so each "
                     "lands in the persistent cache)")
@@ -117,6 +117,22 @@ def main() -> None:
         jax.device_get(kv["k"][-1, 0, -1, 0, :2])
         prefill_ms = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"prefill        : {prefill_ms:7.1f} ms", flush=True)
+
+    # ---- 4-step denoise alone (no prefill) ----
+    if args.only == "denoise":
+        dn_fn = jax.jit(denoise, donate_argnums=(1,))
+        x0, kv, rng = dn_fn(gen.params, kv, cross, noise,
+                            (kv_frames - nfpb) * fsl, rng)
+        jax.device_get(x0[0, 0, 0, 0, :2])
+        print("denoise compiled", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            x0, kv, rng = dn_fn(gen.params, kv, cross, x0.astype(noise.dtype),
+                                (kv_frames - nfpb) * fsl, rng)
+        jax.device_get(x0[0, -1, -1, -1, :2])
+        dn_ms = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"4-step denoise : {dn_ms:7.1f} ms ({dn_ms/4:.1f}/step)", flush=True)
+        return
 
     # ---- VAE decode (streamed per latent, 3 latents like one block) ----
     if args.only not in ("vae", "all"):

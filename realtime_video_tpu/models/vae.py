@@ -267,9 +267,22 @@ def resample(
             t = x.shape[0]
 
     if mode in ("upsample2d", "upsample3d"):
-        # nearest 2x then 3x3 conv dim -> dim//2
-        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        x = conv2d(p["conv"], jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0))), (1, 1))
+        w_like = p["conv"].get("w", p["conv"].get("w_q"))
+        if w_like.shape[-1] == 2 * x.shape[-1]:
+            # fused upsample+conv (fuse_decoder_upsample): co == 4*(c//2) ==
+            # 2c marks the phase-folded kernel — one conv at the ORIGINAL
+            # resolution producing all four output phases, then
+            # depth-to-space. No 4x nearest-upsample materialisation, 4x
+            # wider MXU output tiles.
+            y = conv2d(p["conv"], jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), (1, 1))
+            tt, hh2, ww2, c4 = y.shape
+            co = c4 // 4
+            x = y.reshape(tt, hh2, ww2, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+            x = x.reshape(tt, hh2 * 2, ww2 * 2, co)
+        else:
+            # nearest 2x then 3x3 conv dim -> dim//2
+            up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = conv2d(p["conv"], jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0))), (1, 1))
     elif mode in ("downsample2d", "downsample3d"):
         # ZeroPad2d (0,1,0,1) + 3x3 stride-2 conv (vae.py:90-98)
         x = conv2d(p["conv"], jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0))), (2, 2))
@@ -467,6 +480,44 @@ def init_vae_params(key, cfg: VAEConfig, dtype=jnp.float32) -> Params:
         "conv1": _init_conv3d(next(keys), 1, 1, 1, z * 2, z * 2, dtype),  # vae.py:479
         "conv2": _init_conv3d(next(keys), 1, 1, 1, z, z, dtype),  # vae.py:480
     }
+
+
+def fuse_decoder_upsample(params: Params) -> Params:
+    """Fold nearest-2x upsample + pad + 3x3 conv (Resample upsample branch,
+    vae.py:66-149) into ONE conv at the original resolution producing the
+    four (dy, dx) phase outputs, de-interleaved by depth-to-space in
+    resample().
+
+    Exact rewrite: each output phase reads a 2x2 original-pixel support; the
+    phase kernels fold w rows/cols with T0 = [[1,0,0],[0,1,1],[0,0,0]] (even
+    outputs) / T1 = [[0,0,0],[1,1,0],[0,0,1]] (odd outputs), zero-padded back
+    to 3x3. Removes the 4x upsampled-input materialisation and runs the conv
+    with 4x wider output channels (co=96..192 -> 384..768: exact 128-lane
+    tiles on the MXU). Run BEFORE quantize_vae_params — the fused kernel is
+    a normal [3,3,ci,4co] conv and int8-quantises per channel as usual."""
+
+    def fuse_conv(conv: Params) -> Params:
+        w = conv["w"]  # [3,3,ci,co]
+        t0 = jnp.asarray([[1, 0, 0], [0, 1, 1], [0, 0, 0]], w.dtype)
+        t1 = jnp.asarray([[0, 0, 0], [1, 1, 0], [0, 0, 1]], w.dtype)
+        phases = [
+            jnp.einsum("ak,bl,klio->abio", ty, tx, w)
+            for ty in (t0, t1) for tx in (t0, t1)
+        ]
+        return {"w": jnp.concatenate(phases, axis=-1), "b": jnp.tile(conv["b"], 4)}
+
+    out = dict(params)
+    dec = dict(out["decoder"])
+    ups = []
+    for p in dec["upsamples"]:
+        if isinstance(p, dict) and "conv" in p and "w" in p["conv"] \
+                and p["conv"]["w"].ndim == 4 and p["conv"]["w"].shape[0] == 3:
+            p = dict(p)
+            p["conv"] = fuse_conv(p["conv"])
+        ups.append(p)
+    dec["upsamples"] = ups
+    out["decoder"] = dec
+    return out
 
 
 def quantize_vae_params(params: Params) -> Params:

@@ -41,6 +41,9 @@ class VAEWrapper:
             cfg = VAE_CONFIGS["wan2.1"]
         if params is None:
             params = vae_mod.init_vae_params(jax.random.PRNGKey(seed), cfg, dtype)
+        if os.getenv("RTV_VAE_FUSEUP", "1") in ("1", "true"):
+            # exact upsample+conv phase fusion (see fuse_decoder_upsample)
+            params = vae_mod.fuse_decoder_upsample(params)
         self.cfg = cfg
         self.params = params
 

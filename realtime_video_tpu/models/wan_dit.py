@@ -673,6 +673,43 @@ def dit_forward(
     return flow, new_cache
 
 
+def context_prefill(
+    cfg: WanModelConfig,
+    params: Params,
+    clean_ctx: jnp.ndarray,  # [B, F_ctx, C, H, W]
+    rope_tables,
+    crossattn_cache,
+    kv_cache,
+    block_tokens: int,
+    max_attention_size: int,
+):
+    """Write clean-context K/V into a freshly-reset cache (the serving
+    recompute path, release_server.py:588-633).
+
+    When the context is at most ONE attention block (the server's
+    kv_cache_num_frames=3 == num_frame_per_block), the blockwise-causal mask
+    is dense — identical math to a decode-mode forward at current_start=0,
+    whose compiled program measures ~4x faster than the prefill-mode one on
+    v5e (bench/split_bench.py round-2 notes). Longer contexts (resume
+    latents) keep the block-causal kernel."""
+    b, f = clean_ctx.shape[:2]
+    fsl = cfg.frame_seq_length(clean_ctx.shape[-2], clean_ctx.shape[-1])
+    t0 = jnp.zeros((b, f), jnp.float32)
+    if f * fsl <= block_tokens and f * fsl <= max_attention_size:
+        _, kv = dit_forward(
+            cfg, params, clean_ctx, t0, rope_tables, crossattn_cache,
+            mode="decode", kv_cache=kv_cache, current_start=0,
+            max_attention_size=max_attention_size,
+        )
+    else:
+        _, kv = dit_forward(
+            cfg, params, clean_ctx, t0, rope_tables, crossattn_cache,
+            mode="prefill", kv_cache=kv_cache,
+            prefill_block_tokens=block_tokens,
+        )
+    return kv
+
+
 def dit_classify(
     cfg: WanModelConfig,
     params: Params,

@@ -98,11 +98,9 @@ def fused_block_step(
     def fn(params, kv, cross, clean_ctx, noisy, current_start, rng):
         kv = kvc.reset_kv_cache(kv)
         if num_ctx_frames > 0:
-            t0 = jnp.zeros(clean_ctx.shape[:2], jnp.float32)
-            _, kv = wan_dit.dit_forward(
-                gen.cfg, params, clean_ctx, t0, gen.rope, cross,
-                mode="prefill", kv_cache=kv,
-                prefill_block_tokens=block_tokens,
+            kv = wan_dit.context_prefill(
+                gen.cfg, params, clean_ctx, gen.rope, cross, kv,
+                block_tokens=block_tokens, max_attention_size=max_attn,
             )
         return denoise(params, kv, cross, noisy, current_start, rng)
 

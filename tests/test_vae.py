@@ -73,3 +73,47 @@ def test_encode_decode_roundtrip_finite(params):
     assert px.shape == (1, 5, 3, 32, 32)
     assert np.isfinite(np.asarray(px)).all()
     assert np.abs(np.asarray(px)).max() <= 1.0
+
+
+def test_fused_upsample_conv_matches_unfused():
+    """fuse_decoder_upsample is an exact rewrite: streaming decode with fused
+    phase kernels == the nearest-upsample + conv path, bit-for-bit at f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from realtime_video_tpu.config import VAEConfig
+    from realtime_video_tpu.models import vae as vae_mod
+
+    cfg = VAEConfig(dim=16, z_dim=8, dim_mult=(1, 2, 4, 4), num_res_blocks=1)
+    params = vae_mod.init_vae_params(jax.random.PRNGKey(11), cfg, jnp.float32)
+    fused = vae_mod.fuse_decoder_upsample(params)
+    z = jax.random.normal(jax.random.PRNGKey(12), (1, 3, 6, 8, cfg.z_dim), jnp.float32)
+
+    want0, wc = vae_mod.decode_chunks(cfg, params, z[:, :1], None, first=True)
+    want1, _ = vae_mod.decode_chunks(cfg, params, z[:, 1:], wc, first=False)
+    got0, gc = vae_mod.decode_chunks(cfg, fused, z[:, :1], None, first=True)
+    got1, _ = vae_mod.decode_chunks(cfg, fused, z[:, 1:], gc, first=False)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_upsample_conv_int8_composes():
+    """quantize_vae_params after fusion keeps the fused layout working."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from realtime_video_tpu.config import VAEConfig
+    from realtime_video_tpu.models import vae as vae_mod
+
+    cfg = VAEConfig(dim=16, z_dim=8, dim_mult=(1, 2, 4, 4), num_res_blocks=1)
+    params = vae_mod.init_vae_params(jax.random.PRNGKey(11), cfg, jnp.float32)
+    fused_q = vae_mod.quantize_vae_params(vae_mod.fuse_decoder_upsample(params))
+    z = jax.random.normal(jax.random.PRNGKey(12), (1, 2, 6, 8, cfg.z_dim), jnp.float32)
+    # int8 grids differ between the fused/unfused kernels, so compare the
+    # fused-int8 output against the FLOAT reference within int8 tolerance
+    # (same bar the plain int8 path is held to in test_vae_int8.py)
+    want, _ = vae_mod.decode_chunks(cfg, params, z, None, first=True)
+    got, _ = vae_mod.decode_chunks(cfg, fused_q, z, None, first=True)
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    assert np.mean(err) < 0.02, np.mean(err)
+    assert np.max(err) < 0.25, np.max(err)

@@ -145,3 +145,46 @@ def test_local_window_masks_old_frames(setup):
         max_attention_size=window,
     )
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-4, atol=1e-4)
+
+
+def test_context_prefill_decode_path_matches_blockcausal():
+    """A one-block context write via decode mode == the blockwise-causal
+    prefill (the mask is dense for a single block) — the serving fused step
+    uses the decode program because it compiles to a ~4x faster executable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from realtime_video_tpu.config import WanModelConfig
+    from realtime_video_tpu.models import wan_dit
+    from realtime_video_tpu.models.rope import RopeTables
+    from realtime_video_tpu.ops import kv_cache as kvc
+
+    cfg = WanModelConfig(dim=64, ffn_dim=128, num_heads=2, num_layers=2)
+    params = wan_dit.init_wan_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rope = RopeTables.create(cfg.head_dim)
+    F, C, H, W = 3, 16, 8, 8
+    fsl = cfg.frame_seq_length(H, W)
+    ctx_tokens = jax.random.normal(jax.random.PRNGKey(1), (1, F, C, H, W), jnp.float32)
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim), jnp.float32)
+    cross = wan_dit.compute_crossattn_cache(cfg, params, embeds)
+    mk = lambda: kvc.init_kv_cache(  # noqa: E731
+        cfg.num_layers, 1, 2 * F * fsl, cfg.num_heads, cfg.head_dim, jnp.float32
+    )
+
+    kv_fast = wan_dit.context_prefill(
+        cfg, params, ctx_tokens, rope, cross, mk(),
+        block_tokens=F * fsl, max_attention_size=2 * F * fsl,
+    )
+    t0 = jnp.zeros((1, F), jnp.float32)
+    _, kv_ref = wan_dit.dit_forward(
+        cfg, params, ctx_tokens, t0, rope, cross,
+        mode="prefill", kv_cache=mk(), prefill_block_tokens=F * fsl,
+    )
+    # K/V cache contents are projections of the inputs — identical regardless
+    # of which attention program ran
+    np.testing.assert_allclose(np.asarray(kv_fast["k"]), np.asarray(kv_ref["k"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kv_fast["v"]), np.asarray(kv_ref["v"]),
+                               rtol=1e-5, atol=1e-5)
+    assert int(kv_fast["local_end"]) == int(kv_ref["local_end"]) == F * fsl
+    assert int(kv_fast["global_end"]) == int(kv_ref["global_end"]) == F * fsl
