@@ -163,7 +163,8 @@ def main() -> None:
         and not tiny and not use_taehv
     )
     if reencode:
-        enc_in = px[:, -1:].astype(jnp.float32)  # [1,1,3,H,W] from the decode
+        # bf16, matching the reference's .half() re-encode (release_server.py:574)
+        enc_in = px[:, -1:].astype(jnp.bfloat16)  # [1,1,3,H,W] from the decode
         first_lat = vae.encode_to_latent(enc_in)  # warm/compile
         jax.device_get(first_lat[0, 0, 0, 0, :2])
 
@@ -172,7 +173,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for blk in range(num_blocks):
         if reencode:
-            first_lat = vae.encode_to_latent(px[:, -1:].astype(jnp.float32))
+            first_lat = vae.encode_to_latent(px[:, -1:].astype(jnp.bfloat16))
             ctx_in = jnp.concatenate(
                 [first_lat.astype(ctx_frames.dtype), ctx_frames[:, 1:]], axis=1
             )

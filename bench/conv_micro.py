@@ -1,0 +1,214 @@
+"""VAE-decoder conv formulation microbench at the three hot shapes.
+
+Roofline (bench/vae_roofline.py): the decoder's cost is dominated by 3x3x3
+res-block convs at 96ch@480x832 (T=4), 192ch@240x416 (T=4), 384ch@120x208
+(T=2) — 31 TFLOP/block at a measured ~23% MXU through XLA conv. This sweeps
+alternative formulations of the SAME math to find the fast one:
+
+  conv     — the production path: temporal taps channel-concatenated, one
+             lax.conv 3x3 with 3C input channels (models/vae.py:96-107)
+  shifted  — y = sum_{di,dj} shift(x)[di,dj] @ w[di,dj]: 9 matmuls, no
+             materialised im2col
+  im2col   — materialise [T*H*W, 9*3C] then one matmul (9x input traffic;
+             expected hbm-bound, included as a control)
+  phase    — 4 per-phase 2x2-packed convs on a 2x2 space-to-depth input
+             (each output phase has its own 2x2 packed support)
+  int8     — the production int8 path (dynamic act scale + int8 lax.conv)
+
+Usage (ONE TPU process at a time):
+    python bench/conv_micro.py --shape 96 --variant conv [--iters 20]
+
+Timing rules (CLAUDE.md): whole chain in one jit, evolving inputs, final
+host fetch.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHAPES = {
+    # C, H, W, T  (streaming-latent shapes; taps make Cin = 3C)
+    "96": (96, 480, 832, 4),
+    "192": (192, 240, 416, 4),
+    "384": (384, 120, 208, 2),
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--shape", choices=list(SHAPES), default="96")
+    p.add_argument("--variant", default="conv",
+                   choices=["conv", "shifted", "im2col", "phase", "int8",
+                            "threeconv"])
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--check", action="store_true",
+                   help="CPU equality check vs the conv formulation (small shape)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.check:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtv_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    C, H, W, T = SHAPES[args.shape]
+    if args.check:
+        C, H, W, T = 8, 12, 16, 2
+    ci = 3 * C  # temporal taps pre-concatenated, as in conv3d
+    kw_ = jax.random.normal(jax.random.PRNGKey(0), (3, 3, ci, C), jnp.bfloat16) * 0.02
+    b = jnp.zeros((C,), jnp.bfloat16)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (T, H, W, C), jnp.bfloat16)
+
+    def taps(x):
+        # causal pad 2 + 3 shifted views channel-concat (the conv3d path);
+        # part of every variant's real cost
+        xp = jnp.pad(x, ((2, 0), (0, 0), (0, 0), (0, 0)))
+        return jnp.concatenate([xp[i : i + T] for i in range(3)], axis=-1)
+
+    if args.variant == "conv":
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            return jax.lax.conv_general_dilated(
+                xin, kw_, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    elif args.variant == "int8":
+        wq_ = jnp.clip(jnp.round(kw_.astype(jnp.float32) / 2e-4), -127, 127
+                       ).astype(jnp.int8)
+        scale = jnp.full((C,), 2e-4, jnp.float32)
+
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            amax = jnp.maximum(jnp.max(jnp.abs(xin.astype(jnp.float32))), 1e-6)
+            a_scale = amax / 127.0
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a_scale),
+                          -127, 127).astype(jnp.int8)
+            yq = jax.lax.conv_general_dilated(
+                xq, wq_, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return (yq.astype(jnp.float32) * (a_scale * scale) + b).astype(x.dtype)
+    elif args.variant == "threeconv":
+        # no tap-concat materialisation: one 2D conv per temporal tap, summed.
+        # Trades the 3C-wide concat's write+read (~1.8 GB at 96ch) for 3
+        # narrower convs XLA may or may not chain efficiently.
+        def conv(x):
+            xp = jnp.pad(x, ((2, 0), (1, 1), (1, 1), (0, 0)))
+            y = None
+            for i in range(3):
+                xi = xp[i : i + T]
+                yi = jax.lax.conv_general_dilated(
+                    xi, kw_[:, :, i * C : (i + 1) * C, :], (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = yi if y is None else y + yi
+            return y + b
+    elif args.variant == "shifted":
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = None
+            for di in range(3):
+                for dj in range(3):
+                    v = xin[:, di : di + H, dj : dj + W, :]
+                    yy = jnp.einsum("thwc,co->thwo", v, kw_[di, dj])
+                    y = yy if y is None else y + yy
+            return y + b
+    elif args.variant == "im2col":
+        wm = kw_.reshape(9 * ci, C)
+
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            cols = jnp.concatenate(
+                [xin[:, di : di + H, dj : dj + W, :]
+                 for di in range(3) for dj in range(3)], axis=-1)
+            return jnp.einsum("thwc,co->thwo", cols, wm) + b
+    else:  # phase
+        # per-phase 2x2 packed convs. Packed input: [T, H/2, W/2, 4ci] with
+        # phase-major channels. Output phase (py,px) reads packed rows
+        # i-1+py..i+py, cols j-1+px..j+px — realised by slicing a 1-padded
+        # packed input. Kernel per phase: [2, 2, 4ci, C] with the true 3x3
+        # taps embedded (structural zeros elsewhere).
+        import numpy as np
+
+        kn = np.asarray(kw_, np.float32)
+        kws = {}
+        for py in (0, 1):
+            for px in (0, 1):
+                k4 = np.zeros((2, 2, 4 * ci, C), np.float32)
+                for ky in range(3):
+                    for kx in range(3):
+                        ry, rx = py + ky - 1, px + kx - 1  # real input offset
+                        # real offset ry lives in packed-row offset floor(ry/2)
+                        # with phase ry%2; the 2x2 window for phase (py,px)
+                        # starts at packed offset py-1, so kernel row index is
+                        # floor(ry/2) - (py - 1)
+                        pr, fr = (ry + 2) // 2 - 1, (ry + 2) % 2  # floor/mod
+                        pc, fc = (rx + 2) // 2 - 1, (rx + 2) % 2
+                        kr, kc = pr + 1 - py, pc + 1 - px
+                        k4[kr, kc, (fr * 2 + fc) * ci : (fr * 2 + fc + 1) * ci, :] = kn[ky, kx]
+                kws[(py, px)] = jnp.asarray(k4, jnp.bfloat16)
+
+        def conv(x):
+            xin = taps(x)
+            # space-to-depth 2x2, phase-major channels: [T, H/2, W/2, 4ci]
+            t, h, w, c = xin.shape
+            xr = xin.reshape(t, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+            xp = xr.reshape(t, h // 2, w // 2, 4 * c)
+            xp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            outs = {}
+            for (py, px), k4 in kws.items():
+                base_r = (py + 1) // 2  # slice start so 2x2 kernel covers the
+                base_c = (px + 1) // 2  # right packed rows (see kernel build)
+                v = xp[:, base_r : base_r + h // 2 + 1, base_c : base_c + w // 2 + 1, :]
+                outs[(py, px)] = jax.lax.conv_general_dilated(
+                    v, k4, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # depth-to-space back to [T, H, W, C]
+            y = jnp.stack([outs[(0, 0)], outs[(0, 1)], outs[(1, 0)], outs[(1, 1)]], axis=3)
+            y = y.reshape(t, h // 2, w // 2, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+            return y.reshape(t, h, w, C) + b
+    label = args.variant
+
+    if args.check:
+        import numpy as np
+
+        def ref(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            return jax.lax.conv_general_dilated(
+                xin, kw_, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+        got, want = np.asarray(conv(x0), np.float32), np.asarray(ref(x0), np.float32)
+        # int8 carries dynamic-quantisation noise by design
+        atol = 0.5 if args.variant == "int8" else 2e-2
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=atol)
+        print(f"{label}: check ok (max err {np.abs(got - want).max():.4f})")
+        return
+
+    @jax.jit
+    def chain(x, iters):
+        def body(_, xc):
+            y = conv(xc)
+            return (xc * 0.999 + y.astype(xc.dtype) * 0.001).astype(xc.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    # correctness cross-check vs the conv formulation (interpretable sizes)
+    jax.device_get(chain(x0, 2)[0, 0, :2, 0])
+    t0 = time.perf_counter()
+    out = chain(x0, args.iters)
+    jax.device_get(out[-1, -1, -1, :2])
+    dt = time.perf_counter() - t0
+    per = dt / args.iters * 1e3
+    flops = 2 * 9 * ci * C * T * H * W  # useful
+    print(f"{args.shape}ch {label}: {per:.3f} ms/conv  "
+          f"({flops / (per * 1e-3) / 1e12:.1f} TFLOP/s useful, iters {args.iters})")
+
+
+if __name__ == "__main__":
+    main()

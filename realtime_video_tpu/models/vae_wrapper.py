@@ -32,7 +32,17 @@ class VAEWrapper:
         checkpoint_path: Optional[str] = None,
         dtype=jnp.float32,
         seed: int = 0,
+        device=None,
+        dit_device=None,
     ):
+        """device: pin VAE params + compute to a second chip so streaming
+        decode runs CONCURRENTLY with the next block's denoise on chip 0 —
+        the TPU answer to the reference's CUDA-stream decode overlap
+        (release_server.py:727-729, 978-1007). On one TensorCore programs
+        serialize, so the overlap needs a second device, not host async.
+        Decode outputs stay on `device` (they head to the host as JPEGs);
+        encode outputs are committed to `dit_device` (default jax.devices()[0])
+        because they feed the DiT context on chip 0."""
         if params is None and checkpoint_path and os.path.exists(checkpoint_path):
             from realtime_video_tpu.utils.checkpoint import load_vae
 
@@ -41,10 +51,17 @@ class VAEWrapper:
             cfg = VAE_CONFIGS["wan2.1"]
         if params is None:
             params = vae_mod.init_vae_params(jax.random.PRNGKey(seed), cfg, dtype)
-        if os.getenv("RTV_VAE_FUSEUP", "1") in ("1", "true"):
-            # exact upsample+conv phase fusion (see fuse_decoder_upsample)
+        if os.getenv("RTV_VAE_FUSEUP", "0") in ("1", "true"):
+            # exact upsample+conv phase fusion (see fuse_decoder_upsample).
+            # OFF by default: measured 280 ms/block SLOWER on v5e — the
+            # depth-to-space de-interleave is a lane/sublane relayout XLA
+            # schedules as a big transpose, outweighing the wider MXU tiles.
             params = vae_mod.fuse_decoder_upsample(params)
         self.cfg = cfg
+        self.device = device
+        self.dit_device = dit_device or (jax.devices()[0] if device is not None else None)
+        if device is not None:
+            params = jax.device_put(params, device)
         self.params = params
 
         c = self.cfg
@@ -69,21 +86,28 @@ class VAEWrapper:
         )
 
     @classmethod
-    def from_model_folder(cls, dtype=jnp.float32) -> "VAEWrapper":
+    def from_model_folder(cls, dtype=jnp.float32, device=None) -> "VAEWrapper":
         ckpt = os.path.join(MODEL_FOLDER, "Wan2.1-T2V-1.3B", "Wan2.1_VAE.pth")
-        return cls(checkpoint_path=ckpt if os.path.exists(ckpt) else None, dtype=dtype)
+        return cls(checkpoint_path=ckpt if os.path.exists(ckpt) else None,
+                   dtype=dtype, device=device)
 
     # -- batch API ----------------------------------------------------------
 
+    def _to_vae(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jax.device_put(x, self.device) if self.device is not None else x
+
+    def _to_dit(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jax.device_put(x, self.dit_device) if self.device is not None else x
+
     def encode_to_latent(self, pixels: jnp.ndarray) -> jnp.ndarray:
         """[B,T,C,H,W] in [-1,1] -> [B,Tz,z,h,w] normalised latents."""
-        video = pixels.transpose(0, 1, 3, 4, 2)
+        video = self._to_vae(pixels.transpose(0, 1, 3, 4, 2))
         z, _ = self._encode_fresh(self.params, video)
-        return z.transpose(0, 1, 4, 2, 3)
+        return self._to_dit(z.transpose(0, 1, 4, 2, 3))
 
     def decode_to_pixel(self, latents: jnp.ndarray) -> jnp.ndarray:
         """[B,Tz,z,h,w] -> [B,T,3,H,W] in [-1,1]."""
-        z = latents.transpose(0, 1, 3, 4, 2)
+        z = self._to_vae(latents.transpose(0, 1, 3, 4, 2))
         out, _ = self._decode_first(self.params, z)
         return out.transpose(0, 1, 4, 2, 3)
 
@@ -94,7 +118,7 @@ class VAEWrapper:
     ) -> Tuple[jnp.ndarray, Tuple]:
         """[B,Tz,z,h,w] + cache -> ([B,T,3,H,W], cache). First call (cache=None)
         yields 1+4(Tz-1) frames, subsequent calls 4*Tz (vae_block3.py:195-230)."""
-        z = latents.transpose(0, 1, 3, 4, 2)
+        z = self._to_vae(latents.transpose(0, 1, 3, 4, 2))
         if cache is None:
             out, cache = self._decode_first(self.params, z)
         else:
@@ -107,9 +131,9 @@ class VAEWrapper:
         """[B,T,C,H,W] + cache -> ([B,Tz,z,h,w], cache). cache=None expects
         T=1+4k (fresh 1,4,4,... chunking); warm cache expects T=4k
         (vae_block3.py:133-175)."""
-        video = pixels.transpose(0, 1, 3, 4, 2)
+        video = self._to_vae(pixels.transpose(0, 1, 3, 4, 2))
         if cache is None:
             z, cache = self._encode_fresh(self.params, video)
         else:
             z, cache = self._encode_stream(self.params, video, cache)
-        return z.transpose(0, 1, 4, 2, 3), cache
+        return self._to_dit(z.transpose(0, 1, 4, 2, 3)), cache

@@ -69,7 +69,18 @@ def load_text_encoder(config) -> WanTextEncoder:
 
 
 def load_vae(config) -> VAEWrapper:
-    vae = VAEWrapper.from_model_folder(dtype=jnp.bfloat16)
+    import jax
+
+    # decode-overlap chip: with >=2 devices attached, pin the VAE to a second
+    # chip so streaming decode overlaps the next block's denoise (the
+    # reference overlaps via CUDA streams, release_server.py:727-729; one
+    # TPU TensorCore serializes programs, so overlap needs its own chip)
+    dev = None
+    dev_idx = int(os.getenv("RTV_VAE_DEVICE") or config.get("vae_device_index", -1) or -1)
+    if dev_idx >= 0 and dev_idx < len(jax.devices()):
+        dev = jax.devices()[dev_idx]
+        log.info("VAE pinned to %s (decode overlaps denoise)", dev)
+    vae = VAEWrapper.from_model_folder(dtype=jnp.bfloat16, device=dev)
     if config.get("enable_int8", False):
         # int8 conv tier (the reference's TRT-int8 / fp8 flags,
         # release_server.py:179-182 + use_trt)

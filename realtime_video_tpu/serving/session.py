@@ -394,7 +394,9 @@ class GenerationSession:
         # stays on device: the oldest cached pixel frame changes every block
         # (rolling deque), so this VAE encode is paid per block — don't add a
         # host round-trip on top (reference pulls .half() on GPU, :574)
-        first_pixels = self.frame_context_cache[0][0].astype(jnp.float32)  # [3,H,W]
+        # bf16 like the reference's .half() (:574) — an f32 single-frame
+        # encode measured ~2x slower on v5e with no quality gain
+        first_pixels = self.frame_context_cache[0][0].astype(jnp.bfloat16)  # [3,H,W]
         first_latent, _ = encode_video_latent(
             models.vae_encoder, None, resample_to=16, max_frames=81,
             frames=first_pixels[None], height=self.params.height,
