@@ -71,7 +71,22 @@ def main() -> None:
     vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
         jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16))
     if int8_vae:
-        vae.params = vae_mod.quantize_vae_params(vae.params)
+        act_scales = None
+        if os.getenv("RTV_BENCH_INT8_STATIC", "0") in ("1", "true"):
+            # calibrated static activation scales (TRT-calibration analog):
+            # drops the per-call dynamic amax pass. Calibrate eagerly at
+            # small spatial dims — scales transfer across resolution.
+            zc = jax.random.normal(
+                jax.random.PRNGKey(9), (1, 2, 8, 8, 16), jnp.bfloat16
+            )
+            pxc = jax.random.uniform(
+                jax.random.PRNGKey(10), (1, 1, 64, 64, 3), jnp.bfloat16,
+                minval=-1.0, maxval=1.0,
+            )
+            act_scales = vae_mod.calibrate_vae_act_scales(
+                vae.cfg, vae.params, zc, pxc
+            )
+        vae.params = vae_mod.quantize_vae_params(vae.params, act_scales=act_scales)
     if use_taehv:
         # preview decode tier (reference use_taehv flag, release_server.py:350)
         from realtime_video_tpu.models import taehv as taehv_mod

@@ -44,7 +44,8 @@ def main() -> None:
     p.add_argument("--shape", choices=list(SHAPES), default="96")
     p.add_argument("--variant", default="conv",
                    choices=["conv", "shifted", "im2col", "phase", "int8",
-                            "threeconv"])
+                            "threeconv", "matmul", "conv1x1", "copy",
+                            "bigmm"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--check", action="store_true",
                    help="CPU equality check vs the conv formulation (small shape)")
@@ -95,6 +96,76 @@ def main() -> None:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
             return (yq.astype(jnp.float32) * (a_scale * scale) + b).astype(x.dtype)
+    elif args.variant == "matmul":
+        # CONTROL: same M/K/N as one tap-position of the conv, as 9 pure
+        # einsums with distinct weights (CSE-proof) on the SAME unshifted
+        # input — the MXU ceiling for these dims without conv semantics.
+        def conv(x):
+            xt = taps(x)
+            y = None
+            for di in range(3):
+                for dj in range(3):
+                    yi = jnp.einsum("thwc,co->thwo", xt, kw_[di, dj])
+                    y = yi if y is None else y + yi
+            return y + b
+    elif args.variant == "copy":
+        # CONTROL: pure elementwise pass over the activation tensor —
+        # measures ACHIEVED HBM bandwidth (read+write x.size) in this chained
+        # harness. Reported TFLOP/s is meaningless here; read the ms.
+        def conv(x):
+            return x * 1.000123 + 0.5
+
+        @jax.jit
+        def chain_copy(x, iters):
+            def body(_, xc):
+                return (xc * 1.000123 + 0.5).astype(xc.dtype)
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        xw = chain_copy(x0, args.iters)
+        jax.device_get(xw[0, 0, :2, 0])  # warmup (different arg than timed)
+        t0 = time.perf_counter()
+        out = chain_copy(xw, args.iters)
+        jax.device_get(out[-1, -1, -1, :2])
+        dt = time.perf_counter() - t0
+        per = dt / args.iters * 1e3
+        gbps = 2 * x0.size * 2 / (per * 1e-3) / 1e9
+        print(f"{args.shape}ch copy: {per:.3f} ms/pass  ({gbps:.0f} GB/s achieved)")
+        return
+    elif args.variant == "bigmm":
+        # CONTROL: 4k x 4k x 4k bf16 matmul chain — the harness must show
+        # ~190 TFLOP/s (round-1 chip calibration) or the harness itself lies.
+        a0 = jax.random.normal(jax.random.PRNGKey(7), (4096, 4096), jnp.bfloat16)
+        w0 = jax.random.normal(jax.random.PRNGKey(8), (4096, 4096), jnp.bfloat16) * 0.01
+
+        @jax.jit
+        def chain_mm(a, iters):
+            def body(_, ac):
+                return (ac @ w0 * 0.001).astype(ac.dtype)
+            return jax.lax.fori_loop(0, iters, body, a)
+
+        aw = chain_mm(a0, args.iters)
+        jax.device_get(aw[0, :2])  # warmup (different arg than timed)
+        t0 = time.perf_counter()
+        out = chain_mm(aw, args.iters)
+        jax.device_get(out[-1, :2])
+        dt = time.perf_counter() - t0
+        per = dt / args.iters * 1e3
+        tf = 2 * 4096**3 / (per * 1e-3) / 1e12
+        print(f"bigmm 4k: {per:.3f} ms  ({tf:.0f} TFLOP/s)")
+        return
+    elif args.variant == "conv1x1":
+        # CONTROL: 9 distinct 1x1 convs through the conv op — isolates the
+        # conv engine's 3x3-windowing cost from its matmul path.
+        def conv(x):
+            xt = taps(x)
+            y = None
+            for di in range(3):
+                for dj in range(3):
+                    yi = jax.lax.conv_general_dilated(
+                        xt, kw_[di : di + 1, dj : dj + 1], (1, 1), "VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = yi if y is None else y + yi
+            return y + b
     elif args.variant == "threeconv":
         # no tap-concat materialisation: one 2D conv per temporal tap, summed.
         # Trades the 3C-wide concat's write+read (~1.8 GB at 96ch) for 3
@@ -178,6 +249,12 @@ def main() -> None:
     if args.check:
         import numpy as np
 
+        if args.variant in ("matmul", "conv1x1"):
+            # perf CONTROLS, not equivalent math — just check they run
+            jnp.asarray(conv(x0)).block_until_ready()
+            print(f"{label}: control runs (no equality expected)")
+            return
+
         def ref(x):
             xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
             return jax.lax.conv_general_dilated(
@@ -198,10 +275,13 @@ def main() -> None:
             return (xc * 0.999 + y.astype(xc.dtype) * 0.001).astype(xc.dtype)
         return jax.lax.fori_loop(0, iters, body, x)
 
-    # correctness cross-check vs the conv formulation (interpretable sizes)
-    jax.device_get(chain(x0, 2)[0, 0, :2, 0])
+    # warmup with the SAME iters (one compile); the timed call takes the
+    # warmup's OUTPUT as input — same shapes, different values, so the
+    # tunnel's (executable, args) dispatch dedupe cannot collapse it
+    xw = chain(x0, args.iters)
+    jax.device_get(xw[0, 0, :2, 0])
     t0 = time.perf_counter()
-    out = chain(x0, args.iters)
+    out = chain(xw, args.iters)
     jax.device_get(out[-1, -1, -1, :2])
     dt = time.perf_counter() - t0
     per = dt / args.iters * 1e3

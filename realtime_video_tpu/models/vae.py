@@ -65,6 +65,17 @@ class _CacheIO:
 # ---------------------------------------------------------------------------
 
 
+#: when set (a dict), float conv calls record max|input| keyed by id(param
+#: dict) — used by calibrate_vae_act_scales to derive static int8 act scales
+_ACT_CALIB: Optional[dict] = None
+
+
+def _record_calib(p: Params, x: jnp.ndarray) -> None:
+    if _ACT_CALIB is not None:
+        amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        _ACT_CALIB[id(p)] = max(_ACT_CALIB.get(id(p), 0.0), amax)
+
+
 def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.ndarray:
     """3D conv decomposed into kt 2D convs summed over temporal taps.
 
@@ -83,6 +94,7 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
             x = jnp.concatenate(taps, axis=-1)
         wq = p["w_q"].transpose(1, 2, 0, 3, 4).reshape(kh, kw, -1, p["w_q"].shape[-1])
         return _int8_conv2d(dict(p, w_q=wq), x, stride[1:])
+    _record_calib(p, x)
     w = p["w"].astype(x.dtype)  # [kt, kh, kw, ci, co]
     kt, kh, kw = w.shape[:3]
     st, sh, sw = stride
@@ -118,12 +130,19 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
 
 
 def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1)) -> jnp.ndarray:
-    """Dynamic-activation int8 conv (the TPU analog of the reference's
-    TensorRT int8 VAE engine, demo_utils/vae_torch2trt.py): per-tensor
-    activation scale, per-output-channel weight scales, int32 accumulation.
-    p["w_q"] here is the 4D [kh,kw,ci,co] (taps already merged by conv3d)."""
-    amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
-    a_scale = amax / 127.0
+    """int8 conv (the TPU analog of the reference's TensorRT int8 VAE engine,
+    demo_utils/vae_torch2trt.py): per-tensor activation scale,
+    per-output-channel weight scales, int32 accumulation.
+    p["w_q"] here is the 4D [kh,kw,ci,co] (taps already merged by conv3d).
+
+    Activation scale: CALIBRATED static when p carries "a_scale" (the TRT
+    calibration analog — the quantise then fuses into the producing op with
+    no extra amax read of the input), dynamic per-tensor otherwise."""
+    if "a_scale" in p:
+        a_scale = p["a_scale"].astype(jnp.float32)
+    else:
+        amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
+        a_scale = amax / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127).astype(jnp.int8)
     yq = jax.lax.conv_general_dilated(
         xq, p["w_q"], stride, "VALID",
@@ -141,6 +160,7 @@ def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.nda
         if wq.ndim == 5:  # [1,kh,kw,ci,co]
             wq = wq[0]
         return _int8_conv2d(dict(p, w_q=wq), x, stride)
+    _record_calib(p, x)
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=stride,
@@ -520,14 +540,46 @@ def fuse_decoder_upsample(params: Params) -> Params:
     return out
 
 
-def quantize_vae_params(params: Params) -> Params:
+def calibrate_vae_act_scales(
+    cfg, params: Params, latents: jnp.ndarray, pixels: Optional[jnp.ndarray] = None,
+) -> dict:
+    """Record per-conv activation maxima over a float decode (and optionally
+    encode) pass — the TensorRT calibration analog (demo_utils/vae_torch2trt.py
+    builds its int8 engine from calibration batches the same way).
+
+    latents: [B, Tz, h, w, z] (>=2 latent frames exercises first + streaming).
+    Returns {id(conv param dict): amax}; feed to quantize_vae_params so the
+    int8 convs use static activation scales (no dynamic amax pass per call).
+    Runs eagerly — use small spatial dims; scales transfer across resolution."""
+    global _ACT_CALIB
+    _ACT_CALIB = {}
+    try:
+        px, cache = decode_chunks(cfg, params, latents[:, :1], None, first=True)
+        for i in range(1, latents.shape[1]):
+            px, cache = decode_chunks(cfg, params, latents[:, i : i + 1], cache,
+                                      first=False)
+        if pixels is not None:
+            encode_chunks(cfg, params, pixels, None, stream=False)
+        return dict(_ACT_CALIB)
+    finally:
+        _ACT_CALIB = None
+
+
+def quantize_vae_params(params: Params, act_scales: Optional[dict] = None,
+                        margin: float = 1.5) -> Params:
     """int8-quantise the heavy (3x3 spatial) convs of a VAE param pytree:
     per-output-channel symmetric weight scales; temporal taps pre-merged to
     the wide-conv layout. 1x1 convs, time convs and norms stay in bf16/f32.
-    The serving flag is `enable_int8` (reference flag enable_fp8/use_trt)."""
+    The serving flag is `enable_int8` (reference flag enable_fp8/use_trt).
+
+    act_scales: calibration dict from calibrate_vae_act_scales. Convs found
+    in it get a STATIC activation scale (amax * margin / 127) — the dynamic
+    per-call amax reduction disappears and the quantise fuses into the
+    producing op. margin absorbs content/resolution drift vs calibration."""
     import numpy as np
 
     def quant(p):
+        node_id = id(p)
         if not (isinstance(p, dict) and "w" in p and "b" in p):
             return p
         w = np.asarray(p["w"], np.float32)
@@ -544,11 +596,16 @@ def quantize_vae_params(params: Params) -> Params:
         co = wq5.shape[-1]
         scale = np.maximum(np.abs(wq5).reshape(-1, co).max(axis=0), 1e-8) / 127.0
         wq = np.clip(np.round(wq5 / scale), -127, 127).astype(np.int8)
-        return {
+        out = {
             "w_q": jnp.asarray(wq),  # [kt,kh,kw,ci,co] int8; kt static via shape
             "scale": jnp.asarray(scale, jnp.float32),
             "b": p["b"],
         }
+        if act_scales and node_id in act_scales:
+            out["a_scale"] = jnp.asarray(
+                max(act_scales[node_id], 1e-6) * margin / 127.0, jnp.float32
+            )
+        return out
 
     def walk(node):
         if isinstance(node, dict):

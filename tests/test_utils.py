@@ -84,6 +84,36 @@ def test_prompt_expander_offline():
     assert exp("a cat", seed=3).prompt == out.prompt
 
 
+def test_prompt_expander_system_prompt_selection():
+    """zh/en x text/VL routing (reference decide_system_prompt :131-136)."""
+    from realtime_video_tpu.utils.prompt_extend import (
+        LM_EN_SYS_PROMPT,
+        LM_ZH_SYS_PROMPT,
+        VL_EN_SYS_PROMPT,
+        VL_ZH_SYS_PROMPT,
+    )
+
+    text = get_prompt_expander("template")
+    vl = get_prompt_expander("template", is_vl=True)
+    assert text.decide_system_prompt("en") == LM_EN_SYS_PROMPT
+    assert text.decide_system_prompt("zh") == LM_ZH_SYS_PROMPT
+    assert vl.decide_system_prompt("en") == VL_EN_SYS_PROMPT
+    assert vl.decide_system_prompt("ch") == VL_ZH_SYS_PROMPT
+    # the image-conditioned call path routes through extend_with_img and
+    # records the VL system prompt it decided on
+    out = vl("a cat", tar_lang="en", image=object(), seed=5)
+    assert out.status and out.system_prompt == VL_EN_SYS_PROMPT
+    out.add_custom_field("model", "x")
+    assert out.model == "x"
+
+
+def test_prompt_expander_dashscope_offline_degrades():
+    exp = get_prompt_expander("dashscope")
+    out = exp("a dog", seed=1)
+    assert not out.status and out.prompt == "a dog"
+    assert "DASH_API_KEY" in out.message
+
+
 def test_misc():
     set_seed(0)
     c = AtomicCounter()

@@ -45,3 +45,24 @@ def test_quantize_preserves_structure(params):
     assert "w_q" in q["decoder"]["conv1"]
     assert "w" in q["conv2"]  # 1x1x1 stays fp
     assert q["decoder"]["conv1"]["w_q"].dtype == jnp.int8
+
+
+def test_int8_static_act_scales(params):
+    """Calibrated static activation scales (the TRT-calibration analog):
+    quantize with act_scales -> every quantized conv carries a_scale, no
+    dynamic amax pass runs, and the decode still tracks the float output."""
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 4, 4, CFG.z_dim)) * 0.1
+    scales = vae_mod.calibrate_vae_act_scales(CFG, params, z)
+    assert scales and all(v > 0 for v in scales.values())
+    q = vae_mod.quantize_vae_params(params, act_scales=scales)
+    assert "a_scale" in q["decoder"]["conv1"]
+
+    quant, _ = vae_mod.decode_chunks(CFG, q, z, None, first=True)
+    full, _ = vae_mod.decode_chunks(CFG, params, z, None, first=True)
+    a, b = np.asarray(full), np.asarray(quant)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+
+    # streaming continuation exercises the static path with a warm cache
+    p0, cache = vae_mod.decode_chunks(CFG, q, z[:, :1], None, first=True)
+    p1, _ = vae_mod.decode_chunks(CFG, q, z[:, 1:], cache, first=False)
+    assert np.isfinite(np.asarray(p1)).all()
