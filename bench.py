@@ -42,6 +42,35 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     tiny = os.getenv("RTV_BENCH_TINY", "0") in ("1", "true") or not on_tpu
 
+    if on_tpu and os.getenv("RTV_BENCH_HEALTHCHECK", "1") in ("1", "true"):
+        # the remote tunnel intermittently degrades ~20-50x (measured: 4k
+        # matmul at 11 TFLOP/s vs the 190 calibration). Probe with a cached
+        # chained matmul and wait out degradation so the recorded number
+        # reflects the chip, not the tunnel's bad hour. Bounded wait.
+        import time as _t
+
+        w0 = jax.random.normal(jax.random.PRNGKey(11), (4096, 4096), jnp.bfloat16) * 0.01
+
+        @jax.jit
+        def _mm_chain(a, iters):
+            return jax.lax.fori_loop(0, iters, lambda _, ac: (ac @ w0 * 0.001).astype(ac.dtype), a)
+
+        a0 = jax.random.normal(jax.random.PRNGKey(12), (4096, 4096), jnp.bfloat16)
+        aw = _mm_chain(a0, 100)
+        jax.device_get(aw[0, :2])  # compile+warm; different arg than timed
+        deadline = _t.time() + float(os.getenv("RTV_BENCH_HEALTH_WAIT_S", "600"))
+        while True:
+            t0 = _t.perf_counter()
+            out = _mm_chain(aw, 100)
+            jax.device_get(out[0, :2])
+            tf = 2 * 4096**3 * 100 / (_t.perf_counter() - t0) / 1e12
+            if tf > 100 or _t.time() > deadline:
+                print(f"health: 4k matmul {tf:.0f} TFLOP/s", file=sys.stderr)
+                break
+            print(f"health: degraded tunnel ({tf:.0f} TFLOP/s), waiting...",
+                  file=sys.stderr)
+            _t.sleep(60)
+
     if tiny:
         cfg = WanModelConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2)
         lat_h, lat_w = 8, 8
@@ -68,8 +97,13 @@ def main() -> None:
     use_taehv = os.getenv("RTV_BENCH_TAEHV", "0") in ("1", "true") and not tiny
     gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True,
                        quantize_linears=int8_dit)
+    # with >=2 attached devices the VAE rides its own chip: decode of block n
+    # overlaps the denoise of block n+1 (both dispatch async; different
+    # devices execute concurrently). No-op on the single tunnel chip.
+    vae_dev_idx = int(os.getenv("RTV_VAE_DEVICE", "1" if len(jax.devices()) > 1 else "-1"))
+    vae_dev = jax.devices()[vae_dev_idx] if 0 <= vae_dev_idx < len(jax.devices()) else None
     vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
-        jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16))
+        jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16), device=vae_dev)
     if int8_vae:
         act_scales = None
         if os.getenv("RTV_BENCH_INT8_STATIC", "0") in ("1", "true"):
@@ -87,6 +121,8 @@ def main() -> None:
                 vae.cfg, vae.params, zc, pxc
             )
         vae.params = vae_mod.quantize_vae_params(vae.params, act_scales=act_scales)
+        if vae_dev is not None:  # quantize round-trips host; re-pin
+            vae.params = jax.device_put(vae.params, vae_dev)
     if use_taehv:
         # preview decode tier (reference use_taehv flag, release_server.py:350)
         from realtime_video_tpu.models import taehv as taehv_mod

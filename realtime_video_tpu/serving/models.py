@@ -87,6 +87,8 @@ def load_vae(config) -> VAEWrapper:
         from realtime_video_tpu.models.vae import quantize_vae_params
 
         vae.params = quantize_vae_params(vae.params)
+        if dev is not None:  # quantize round-trips host; re-pin to the VAE chip
+            vae.params = jax.device_put(vae.params, dev)
         log.info("VAE quantized to int8")
     return vae
 
