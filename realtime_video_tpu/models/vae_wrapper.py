@@ -34,6 +34,7 @@ class VAEWrapper:
         seed: int = 0,
         device=None,
         dit_device=None,
+        mesh=None,
     ):
         """device: pin VAE params + compute to a second chip so streaming
         decode runs CONCURRENTLY with the next block's denoise on chip 0 —
@@ -42,7 +43,14 @@ class VAEWrapper:
         serialize, so the overlap needs a second device, not host async.
         Decode outputs stay on `device` (they head to the host as JPEGs);
         encode outputs are committed to `dit_device` (default jax.devices()[0])
-        because they feed the DiT context on chip 0."""
+        because they feed the DiT context on chip 0.
+
+        mesh: a 1-axis Mesh ("sp") — SPATIALLY shard the decode over its
+        chips: latents/pixels/conv caches split along H, GSPMD inserts the
+        conv halo exchanges (collective-permutes over ICI) automatically.
+        Decode time scales ~1/N. Composes with the overlap pattern by
+        building the mesh from chips 1..N while the DiT owns chip 0
+        (equality-tested on the virtual CPU mesh)."""
         if params is None and checkpoint_path and os.path.exists(checkpoint_path):
             from realtime_video_tpu.utils.checkpoint import load_vae
 
@@ -59,8 +67,17 @@ class VAEWrapper:
             params = vae_mod.fuse_decoder_upsample(params)
         self.cfg = cfg
         self.device = device
-        self.dit_device = dit_device or (jax.devices()[0] if device is not None else None)
-        if device is not None:
+        self.mesh = mesh
+        offloaded = device is not None or mesh is not None
+        self.dit_device = dit_device or (jax.devices()[0] if offloaded else None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert device is None, "device= and mesh= are exclusive"
+            # params replicated over the sp mesh; activations shard over H
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+            self._z_sharding = NamedSharding(mesh, P(None, None, "sp", None, None))
+        elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
 
@@ -86,18 +103,23 @@ class VAEWrapper:
         )
 
     @classmethod
-    def from_model_folder(cls, dtype=jnp.float32, device=None) -> "VAEWrapper":
+    def from_model_folder(cls, dtype=jnp.float32, device=None, mesh=None) -> "VAEWrapper":
         ckpt = os.path.join(MODEL_FOLDER, "Wan2.1-T2V-1.3B", "Wan2.1_VAE.pth")
         return cls(checkpoint_path=ckpt if os.path.exists(ckpt) else None,
-                   dtype=dtype, device=device)
+                   dtype=dtype, device=device, mesh=mesh)
 
     # -- batch API ----------------------------------------------------------
 
     def _to_vae(self, x: jnp.ndarray) -> jnp.ndarray:
+        # both latents [B,T,h,w,z] and video [B,T,H,W,3] carry H at axis 2
+        if self.mesh is not None:
+            return jax.device_put(x, self._z_sharding)
         return jax.device_put(x, self.device) if self.device is not None else x
 
     def _to_dit(self, x: jnp.ndarray) -> jnp.ndarray:
-        return jax.device_put(x, self.dit_device) if self.device is not None else x
+        if self.dit_device is None:
+            return x
+        return jax.device_put(x, self.dit_device)
 
     def encode_to_latent(self, pixels: jnp.ndarray) -> jnp.ndarray:
         """[B,T,C,H,W] in [-1,1] -> [B,Tz,z,h,w] normalised latents."""

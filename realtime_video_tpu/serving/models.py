@@ -80,7 +80,18 @@ def load_vae(config) -> VAEWrapper:
     if dev_idx >= 0 and dev_idx < len(jax.devices()):
         dev = jax.devices()[dev_idx]
         log.info("VAE pinned to %s (decode overlaps denoise)", dev)
-    vae = VAEWrapper.from_model_folder(dtype=jnp.bfloat16, device=dev)
+    # spatial sharding across chips 1..N (H split, GSPMD halo exchange):
+    # decode time ~1/N while chip 0 denoises the next block
+    mesh = None
+    n_sp = int(os.getenv("RTV_VAE_SP_DEVICES") or config.get("vae_sp_devices", 0) or 0)
+    if n_sp >= 2 and len(jax.devices()) > n_sp:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[1 : 1 + n_sp]), ("sp",))
+        dev = None
+        log.info("VAE spatially sharded over chips 1..%d", n_sp)
+    vae = VAEWrapper.from_model_folder(dtype=jnp.bfloat16, device=dev, mesh=mesh)
     if config.get("enable_int8", False):
         # int8 conv tier (the reference's TRT-int8 / fp8 flags,
         # release_server.py:179-182 + use_trt)
@@ -89,6 +100,10 @@ def load_vae(config) -> VAEWrapper:
         vae.params = quantize_vae_params(vae.params)
         if dev is not None:  # quantize round-trips host; re-pin to the VAE chip
             vae.params = jax.device_put(vae.params, dev)
+        elif mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            vae.params = jax.device_put(vae.params, NamedSharding(mesh, PartitionSpec()))
         log.info("VAE quantized to int8")
     return vae
 
