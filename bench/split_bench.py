@@ -26,6 +26,10 @@ def main() -> None:
                     default="all", help="compile/measure one stage (tunnel "
                     "compiles are minutes; run stages separately so each "
                     "lands in the persistent cache)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a device trace of the timed loop into DIR "
+                    "(uses only cached executables; read with "
+                    "bench/read_trace.py)")
     args = ap.parse_args()
 
     import jax
@@ -125,12 +129,16 @@ def main() -> None:
                             (kv_frames - nfpb) * fsl, rng)
         jax.device_get(x0[0, 0, 0, 0, :2])
         print("denoise compiled", flush=True)
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             x0, kv, rng = dn_fn(gen.params, kv, cross, x0.astype(noise.dtype),
                                 (kv_frames - nfpb) * fsl, rng)
         jax.device_get(x0[0, -1, -1, -1, :2])
         dn_ms = (time.perf_counter() - t0) / args.iters * 1e3
+        if args.profile:
+            jax.profiler.stop_trace()
         print(f"4-step denoise : {dn_ms:7.1f} ms ({dn_ms/4:.1f}/step)", flush=True)
         return
 
@@ -140,6 +148,8 @@ def main() -> None:
     px, vc = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
     px, vc = vae.decode_block(x0[:, 1:2].astype(jnp.bfloat16), vc)
     jax.device_get(px[0, -1, 0, :2])
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     z = x0.astype(jnp.bfloat16)
     for i in range(args.iters):
@@ -148,6 +158,8 @@ def main() -> None:
                 (z[:, j:j+1] + px[0, -1, 0, 0, 0].astype(z.dtype) * 1e-6), vc)
     jax.device_get(px[0, -1, -1, ::128, :2])
     vae_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    if args.profile:
+        jax.profiler.stop_trace()
     print(f"VAE decode     : {vae_ms:7.1f} ms / 3 latents (12 frames)", flush=True)
 
     if args.only == "all":

@@ -83,7 +83,10 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     decomposition y[t] = sum_i conv2d(x[st*t + i], w[i]) is exact and keeps
     everything on the fast NHWC conv path.
     """
-    assert padding == "VALID"
+    # padding: "VALID" or explicit spatial (lo, hi) pairs ((ph_lo, ph_hi),
+    # (pw_lo, pw_hi)) — forwarded to the conv op itself. A separate jnp.pad
+    # materialises the whole tensor (measured ~4% of decode in pad ops plus
+    # the extra copies it forces); conv-native padding is free.
     if "w_q" in p:  # int8 tier: w_q [kt,kh,kw,C,co] int8
         kt, kh, kw = p["w_q"].shape[:3]
         st = stride[0]
@@ -93,7 +96,7 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
             taps = [x[i : i + t_out] for i in range(kt)]
             x = jnp.concatenate(taps, axis=-1)
         wq = p["w_q"].transpose(1, 2, 0, 3, 4).reshape(kh, kw, -1, p["w_q"].shape[-1])
-        return _int8_conv2d(dict(p, w_q=wq), x, stride[1:])
+        return _int8_conv2d(dict(p, w_q=wq), x, stride[1:], padding)
     _record_calib(p, x)
     w = p["w"].astype(x.dtype)  # [kt, kh, kw, ci, co]
     kt, kh, kw = w.shape[:3]
@@ -102,7 +105,7 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     t_out = (T - kt) // st + 1  # lands on (W, C) with no sublane-time padding
     if kt == 1:
         y = jax.lax.conv_general_dilated(
-            x[::st], w[0], (sh, sw), "VALID",
+            x[::st], w[0], (sh, sw), padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     elif st == 1:
@@ -114,7 +117,7 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
         xin = jnp.concatenate(taps, axis=-1)
         w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, w.shape[-1])
         y = jax.lax.conv_general_dilated(
-            xin, w2, (sh, sw), "VALID",
+            xin, w2, (sh, sw), padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     else:  # strided temporal conv (encoder downsample3d) — per-tap sum
@@ -122,14 +125,14 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
         for i in range(kt):
             xi = x[i : i + st * (t_out - 1) + 1 : st]
             yi = jax.lax.conv_general_dilated(
-                xi, w[i], (sh, sw), "VALID",
+                xi, w[i], (sh, sw), padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             y = yi if y is None else y + yi
     return y + p["b"].astype(x.dtype)
 
 
-def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1)) -> jnp.ndarray:
+def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.ndarray:
     """int8 conv (the TPU analog of the reference's TensorRT int8 VAE engine,
     demo_utils/vae_torch2trt.py): per-tensor activation scale,
     per-output-channel weight scales, int32 accumulation.
@@ -145,7 +148,7 @@ def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1)) -> jnp.ndarray:
         a_scale = amax / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127).astype(jnp.int8)
     yq = jax.lax.conv_general_dilated(
-        xq, p["w_q"], stride, "VALID",
+        xq, p["w_q"], stride, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
@@ -159,7 +162,7 @@ def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.nda
         wq = p["w_q"]
         if wq.ndim == 5:  # [1,kh,kw,ci,co]
             wq = wq[0]
-        return _int8_conv2d(dict(p, w_q=wq), x, stride)
+        return _int8_conv2d(dict(p, w_q=wq), x, stride, padding)
     _record_calib(p, x)
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
@@ -203,10 +206,8 @@ def causal_conv3d(
         io.put(new_cache)
     else:
         xin = x
-    return conv3d(
-        p, jnp.pad(xin, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0))),
-        stride=stride,
-    )
+    spad = ((pad_h, pad_h), (pad_w, pad_w)) if (pad_h or pad_w) else "VALID"
+    return conv3d(p, xin, stride=stride, padding=spad)
 
 
 def rms_norm_image(p: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -294,7 +295,7 @@ def resample(
             # resolution producing all four output phases, then
             # depth-to-space. No 4x nearest-upsample materialisation, 4x
             # wider MXU output tiles.
-            y = conv2d(p["conv"], jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), (1, 1))
+            y = conv2d(p["conv"], x, (1, 1), padding=((1, 1), (1, 1)))
             tt, hh2, ww2, c4 = y.shape
             co = c4 // 4
             x = y.reshape(tt, hh2, ww2, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
@@ -302,10 +303,10 @@ def resample(
         else:
             # nearest 2x then 3x3 conv dim -> dim//2
             up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            x = conv2d(p["conv"], jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0))), (1, 1))
+            x = conv2d(p["conv"], up, (1, 1), padding=((1, 1), (1, 1)))
     elif mode in ("downsample2d", "downsample3d"):
         # ZeroPad2d (0,1,0,1) + 3x3 stride-2 conv (vae.py:90-98)
-        x = conv2d(p["conv"], jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0))), (2, 2))
+        x = conv2d(p["conv"], x, (2, 2), padding=((0, 1), (0, 1)))
 
     if mode == "downsample3d":
         if first:
