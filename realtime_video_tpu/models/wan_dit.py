@@ -23,13 +23,19 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os as _os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from realtime_video_tpu.config import WanModelConfig
-from realtime_video_tpu.models.rope import RopeTables, rope_apply, sinusoidal_embedding_1d
+from realtime_video_tpu.models.rope import (
+    RopeTables,
+    rope_apply,
+    rope_apply_fused,
+    sinusoidal_embedding_1d,
+)
 from realtime_video_tpu.ops import attention as attn_ops
 from realtime_video_tpu.ops import kv_cache as kvc
 
@@ -498,6 +504,11 @@ def dit_forward(
     num_layers = cfg.num_layers
     layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
 
+    # hoist the fused rope grid out of the layer loop: layer-invariant, and
+    # traced per layer its small per-axis table reads become latency-bound
+    # S(1) prefetches every iteration (measured ~37% of the denoise step)
+    rope_cos, rope_sin = rope_tables.fused(*grid, start_frame)
+
     def body(carry, xs):
         xtok, ck_all, cv_all = carry
         bp, cak, cav, lid = xs["bp"], xs["cak"], xs["cav"], xs["lid"]
@@ -523,14 +534,14 @@ def dit_forward(
         if tf_concat:
             Lh = L // 2
             q = jnp.concatenate(
-                [rope_apply(q[:, :Lh], grid, rope_tables, start_frame),
-                 rope_apply(q[:, Lh:], grid, rope_tables, start_frame)], axis=1)
+                [rope_apply_fused(q[:, :Lh], rope_cos, rope_sin),
+                 rope_apply_fused(q[:, Lh:], rope_cos, rope_sin)], axis=1)
             k = jnp.concatenate(
-                [rope_apply(k[:, :Lh], grid, rope_tables, start_frame),
-                 rope_apply(k[:, Lh:], grid, rope_tables, start_frame)], axis=1)
+                [rope_apply_fused(k[:, :Lh], rope_cos, rope_sin),
+                 rope_apply_fused(k[:, Lh:], rope_cos, rope_sin)], axis=1)
         else:
-            q = rope_apply(q, grid, rope_tables, start_frame)
-            k = rope_apply(k, grid, rope_tables, start_frame)
+            q = rope_apply_fused(q, rope_cos, rope_sin)
+            k = rope_apply_fused(k, rope_cos, rope_sin)
 
         if mode == "train":
             y = attn_ops.attention(q, k, v, mask=mask_b)
@@ -632,7 +643,15 @@ def dit_forward(
     if "k_img" in crossattn_cache:
         xs["cak_img"] = crossattn_cache["k_img"]
         xs["cav_img"] = crossattn_cache["v_img"]
-    (tokens, new_k, new_v), tap_tokens = jax.lax.scan(body, carry0, xs)
+    # serving profile: the rolled scan dynamic-slices EVERY stacked param per
+    # layer per step (~28 async slice-starts x layers x steps measured on the
+    # denoise trace). Unrolling makes the slices static so XLA schedules
+    # weight prefetches across layers and fuses across block boundaries.
+    # Costs compile time; training keeps the rolled loop (remat-friendly).
+    unroll = int(_os.getenv("RTV_DIT_UNROLL", "1"))
+    (tokens, new_k, new_v), tap_tokens = jax.lax.scan(
+        body, carry0, xs, unroll=unroll if unroll > 1 else 1
+    )
 
     logits = None
     if gan_classify is not None:
