@@ -89,13 +89,13 @@ def main() -> None:
     kv_frames = 3 + nfpb  # kv_cache_num_frames=3 + block
     fsl = cfg.frame_seq_length(lat_h, lat_w)
 
-    # int8 DiT linears on by default (torchao-fp8 analog; corr 0.999998).
-    # int8 VAE now OFF by default: with conv-native padding the int8 and
-    # bf16 decoders measure identical (1206 vs 1215 ms/block standalone) —
-    # the quantize/dequant passes eat the MXU gain — so bf16 keeps quality
-    # for free. RTV_BENCH_INT8=1 restores the TRT-analog tier.
+    # int8 serving tier on by default (torchao-fp8 / TRT-int8 analogs; DiT
+    # corr 0.999998, VAE within test tolerances). In-FUSED A/B on v5e:
+    # int8 VAE 7.77 fps vs bf16 VAE 6.8-7.05 — the STANDALONE vae chain had
+    # measured them equal (1206 vs 1215 ms), another standalone-harness lie;
+    # only fused-bench A/Bs decide defaults. Disable with RTV_BENCH_INT8[_DIT]=0.
     int8_dit = os.getenv("RTV_BENCH_INT8_DIT", "1") in ("1", "true") and not tiny
-    int8_vae = os.getenv("RTV_BENCH_INT8", "0") in ("1", "true") and not tiny
+    int8_vae = os.getenv("RTV_BENCH_INT8", "1") in ("1", "true") and not tiny
     use_taehv = os.getenv("RTV_BENCH_TAEHV", "0") in ("1", "true") and not tiny
     gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True,
                        quantize_linears=int8_dit)
