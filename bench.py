@@ -108,10 +108,11 @@ def main() -> None:
         jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16), device=vae_dev)
     if int8_vae:
         act_scales = None
-        if os.getenv("RTV_BENCH_INT8_STATIC", "0") in ("1", "true"):
+        if os.getenv("RTV_BENCH_INT8_STATIC", "1") in ("1", "true"):
             # calibrated static activation scales (TRT-calibration analog):
             # drops the per-call dynamic amax pass. Calibrate eagerly at
             # small spatial dims — scales transfer across resolution.
+            # Fused A/B on v5e: 8.21 vs 7.79 fps — default ON.
             zc = jax.random.normal(
                 jax.random.PRNGKey(9), (1, 2, 8, 8, 16), jnp.bfloat16
             )
