@@ -123,7 +123,10 @@ def main() -> None:
             act_scales = vae_mod.calibrate_vae_act_scales(
                 vae.cfg, vae.params, zc, pxc
             )
-        vae.params = vae_mod.quantize_vae_params(vae.params, act_scales=act_scales)
+        skip_enc = os.getenv("RTV_BENCH_INT8_ENC", "1") not in ("1", "true")
+        vae.params = vae_mod.quantize_vae_params(
+            vae.params, act_scales=act_scales, skip_encoder=skip_enc
+        )
         if vae_dev is not None:  # quantize round-trips host; re-pin
             vae.params = jax.device_put(vae.params, vae_dev)
     if use_taehv:

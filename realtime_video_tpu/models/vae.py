@@ -567,7 +567,7 @@ def calibrate_vae_act_scales(
 
 
 def quantize_vae_params(params: Params, act_scales: Optional[dict] = None,
-                        margin: float = 1.5) -> Params:
+                        margin: float = 1.5, skip_encoder: bool = False) -> Params:
     """int8-quantise the heavy (3x3 spatial) convs of a VAE param pytree:
     per-output-channel symmetric weight scales; temporal taps pre-merged to
     the wide-conv layout. 1x1 convs, time convs and norms stay in bf16/f32.
@@ -617,6 +617,14 @@ def quantize_vae_params(params: Params, act_scales: Optional[dict] = None,
             return [walk(v) for v in node]
         return node
 
+    if skip_encoder:
+        # T=1 single-frame encodes are per-conv-overhead-bound; int8's extra
+        # quantize/dequant passes can outweigh its MXU gain there — keep the
+        # encoder bf16 while the decoder takes the int8 tier
+        out = dict(params)
+        out["decoder"] = walk(params["decoder"])
+        out["conv2"] = walk(params["conv2"])
+        return out
     return walk(params)
 
 
