@@ -47,12 +47,18 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
+_AMAX_SUB = int(_os.getenv("RTV_DIT_AMAX_SUB", "1"))
+
+
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "w_q" in p:
         # int8 weights + dynamic per-tensor activation scale (the TPU analog
         # of the reference's torchao quantized linears, release_server.py:179-182;
-        # int8 MXU throughput is 2x bf16 on v5e)
-        amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
+        # int8 MXU throughput is 2x bf16 on v5e).
+        # RTV_DIT_AMAX_SUB=k>1: estimate amax from every k-th token row (1/k
+        # the reduce traffic; values beyond the estimate saturate at +-127)
+        xa = x[..., ::_AMAX_SUB, :] if _AMAX_SUB > 1 and x.ndim >= 2 else x
+        amax = jnp.maximum(jnp.max(jnp.abs(xa.astype(jnp.float32))), 1e-6)
         a_scale = amax / 127.0
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
