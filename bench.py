@@ -148,15 +148,22 @@ def main() -> None:
 
     # tp-shard the serving state when a mesh is attached (a v5p/v5e pod slice;
     # the single tunnel chip stays unsharded). Heads shard over "tp"; GSPMD
-    # emits the per-layer collectives.
-    if len(jax.devices()) > 1 and not tiny:
+    # emits the per-layer collectives. The VAE's pinned device is EXCLUDED
+    # from the tp mesh so decode genuinely overlaps the denoise instead of
+    # serializing with a DiT shard on the same chip (and double-committing
+    # that chip's HBM).
+    dit_devices = [d for d in jax.devices() if d is not vae_dev]
+    if len(dit_devices) > 1 and not tiny:
         from realtime_video_tpu.parallel.mesh import make_mesh
         from realtime_video_tpu.parallel.plan import shard_for_serving
 
-        n = len(jax.devices())
+        n = len(dit_devices)
         tp = max(d for d in (8, 4, 2, 1) if n % d == 0 and cfg.num_heads % d == 0)
-        mesh = make_mesh({"tp": tp}, devices=jax.devices()[:tp])
+        mesh = make_mesh({"tp": tp}, devices=dit_devices[:tp])
         gen.params, kv, cross = shard_for_serving(gen.params, kv, cross, mesh)
+        print(f"config: DiT tp={tp} over {[d.id for d in dit_devices[:tp]]}, "
+              f"VAE on {vae_dev.id if vae_dev is not None else 'shared'}",
+              file=sys.stderr)
     schedule = gen.schedule
 
     del schedule
@@ -254,12 +261,26 @@ def main() -> None:
         jax.profiler.stop_trace()
     fps = frames_out / dt
 
+    # TTFF (BASELINE.md north star #2: p50 < 1.5 s): warm-server first-frame
+    # latency — one block-0 step (no re-encode; the session skips it pre-
+    # warmup) + streamed decode of the FIRST latent only + host readback.
+    # Inputs have evolved past the warmup pair, so the dispatch-dedupe cannot
+    # fake this (CLAUDE.md measurement rules).
+    t0 = time.perf_counter()
+    x0, kv, rng = step_fn(
+        gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
+    )
+    px1, _ = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
+    jax.device_get(px1[0, -1, :, ::64, ::64])
+    ttff_ms = (time.perf_counter() - t0) * 1e3
+
     label = "tiny" if tiny else ("1.3b_taehv" if use_taehv else "1.3b")
     print(json.dumps({
         "metric": f"t2v_fps_832x480_4step_{label}_{jax.default_backend()}",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 11.0, 4),
+        "ttff_ms": round(ttff_ms, 1),
     }))
 
 

@@ -549,8 +549,10 @@ def calibrate_vae_act_scales(
     builds its int8 engine from calibration batches the same way).
 
     latents: [B, Tz, h, w, z] (>=2 latent frames exercises first + streaming).
-    Returns {id(conv param dict): amax}; feed to quantize_vae_params so the
-    int8 convs use static activation scales (no dynamic amax pass per call).
+    Returns {tree path: amax}; feed to quantize_vae_params so the int8 convs
+    use static activation scales (no dynamic amax pass per call). Path keys
+    (not id()) survive copies/device_put/reload of the param pytree between
+    calibration and quantisation.
     Runs eagerly — use small spatial dims; scales transfer across resolution."""
     global _ACT_CALIB
     _ACT_CALIB = {}
@@ -561,9 +563,25 @@ def calibrate_vae_act_scales(
                                       first=False)
         if pixels is not None:
             encode_chunks(cfg, params, pixels, None, stream=False)
-        return dict(_ACT_CALIB)
+        by_id = dict(_ACT_CALIB)
     finally:
         _ACT_CALIB = None
+    out = {}
+    for path, node in _walk_paths(params):
+        if id(node) in by_id:
+            out[path] = by_id[id(node)]
+    return out
+
+
+def _walk_paths(node, path=""):
+    """Yield (path, node) for every dict node in a VAE param pytree."""
+    if isinstance(node, dict):
+        yield path, node
+        for k, v in node.items():
+            yield from _walk_paths(v, f"{path}/{k}")
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            yield from _walk_paths(v, f"{path}/{i}")
 
 
 def quantize_vae_params(params: Params, act_scales: Optional[dict] = None,
@@ -579,8 +597,9 @@ def quantize_vae_params(params: Params, act_scales: Optional[dict] = None,
     producing op. margin absorbs content/resolution drift vs calibration."""
     import numpy as np
 
-    def quant(p):
-        node_id = id(p)
+    attached = [0]
+
+    def quant(p, path):
         if not (isinstance(p, dict) and "w" in p and "b" in p):
             return p
         w = np.asarray(p["w"], np.float32)
@@ -602,19 +621,20 @@ def quantize_vae_params(params: Params, act_scales: Optional[dict] = None,
             "scale": jnp.asarray(scale, jnp.float32),
             "b": p["b"],
         }
-        if act_scales and node_id in act_scales:
+        if act_scales and path in act_scales:
             out["a_scale"] = jnp.asarray(
-                max(act_scales[node_id], 1e-6) * margin / 127.0, jnp.float32
+                max(act_scales[path], 1e-6) * margin / 127.0, jnp.float32
             )
+            attached[0] += 1
         return out
 
-    def walk(node):
+    def walk(node, path=""):
         if isinstance(node, dict):
             if "w" in node and "b" in node and hasattr(node["w"], "ndim"):
-                return quant(node)
-            return {k: walk(v) for k, v in node.items()}
+                return quant(node, path)
+            return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
         if isinstance(node, list):
-            return [walk(v) for v in node]
+            return [walk(v, f"{path}/{i}") for i, v in enumerate(node)]
         return node
 
     if skip_encoder:
@@ -622,10 +642,18 @@ def quantize_vae_params(params: Params, act_scales: Optional[dict] = None,
         # quantize/dequant passes can outweigh its MXU gain there — keep the
         # encoder bf16 while the decoder takes the int8 tier
         out = dict(params)
-        out["decoder"] = walk(params["decoder"])
-        out["conv2"] = walk(params["conv2"])
-        return out
-    return walk(params)
+        out["decoder"] = walk(params["decoder"], "/decoder")
+        out["conv2"] = walk(params["conv2"], "/conv2")
+    else:
+        out = walk(params)
+    if act_scales:
+        # silent-drop guard: calibration that fails to attach is a perf
+        # regression with no error — fail loudly instead
+        assert attached[0] > 0, (
+            "act_scales provided but none attached — path keys do not match "
+            "this param pytree (stale calibration?)"
+        )
+    return out
 
 
 def latent_scale(cfg: VAEConfig, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:

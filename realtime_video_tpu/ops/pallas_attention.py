@@ -162,10 +162,12 @@ def _flash_kernel(
                 s = s + bias
             else:
                 q_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-                ends = jnp.minimum(
-                    (q_pos // block_tokens + 1) * block_tokens, kv_len
-                )
-                valid = col < ends
+                # kv_len clamps only the UPPER bound; the local-window start
+                # uses the unclamped block end so a trailing partial block
+                # does not slide the window down and admit evicted keys
+                # (reference get_block_mask, causal_model.py:108-141)
+                ends = (q_pos // block_tokens + 1) * block_tokens
+                valid = col < jnp.minimum(ends, kv_len)
                 if local_window is not None:
                     valid = valid & (col >= ends - local_window)
                     valid = valid | (q_pos == col)
@@ -501,7 +503,19 @@ def decode_attention(
         kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
         vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
         m_bound = _logit_bound(qp, k)
-        out = _staticmax_call(qp, kp, vp, bounds, m_bound, bq=bq, bkm=bkm, bk=bk)
+        # the no-running-max kernel is only safe when exp2(s - M) cannot
+        # underflow a whole row (qk-normed inputs keep M ~ 2). A caller with
+        # large row norms falls back to the running-max kernel at runtime
+        # rather than silently zeroing rows.
+        out = jax.lax.cond(
+            m_bound[0] < 64.0,
+            lambda: _staticmax_call(
+                qp, kp, vp, bounds, m_bound, bq=bq, bkm=bkm, bk=bk
+            ),
+            lambda: _flash_call(
+                qp, kp, vp, bounds, "window", Lk, bq=bq, bkm=bkm, bk=bk
+            ),
+        )
         return out[:, :, :Lq].transpose(0, 2, 1, 3)
     qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
     kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)

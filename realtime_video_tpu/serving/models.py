@@ -76,14 +76,24 @@ def load_vae(config) -> VAEWrapper:
     # reference overlaps via CUDA streams, release_server.py:727-729; one
     # TPU TensorCore serializes programs, so overlap needs its own chip)
     dev = None
-    dev_idx = int(os.getenv("RTV_VAE_DEVICE") or config.get("vae_device_index", -1) or -1)
-    if dev_idx >= 0 and dev_idx < len(jax.devices()):
+    env_dev = os.getenv("RTV_VAE_DEVICE")
+    dev_idx = int(env_dev) if env_dev not in (None, "") \
+        else int(config.get("vae_device_index", -1))  # 0 is a valid index
+    if 0 <= dev_idx < len(jax.devices()):
         dev = jax.devices()[dev_idx]
         log.info("VAE pinned to %s (decode overlaps denoise)", dev)
+    elif dev_idx >= 0:
+        log.warning("requested VAE device %d not attached (%d devices) — "
+                    "VAE stays on the default device", dev_idx, len(jax.devices()))
     # spatial sharding across chips 1..N (H split, GSPMD halo exchange):
     # decode time ~1/N while chip 0 denoises the next block
+    env_sp = os.getenv("RTV_VAE_SP_DEVICES")
+    n_sp = int(env_sp) if env_sp not in (None, "") \
+        else int(config.get("vae_sp_devices", 0) or 0)
+    if n_sp >= 2 and len(jax.devices()) <= n_sp:
+        log.warning("requested %d VAE sp devices but only %d attached — "
+                    "spatial sharding disabled", n_sp, len(jax.devices()))
     mesh = None
-    n_sp = int(os.getenv("RTV_VAE_SP_DEVICES") or config.get("vae_sp_devices", 0) or 0)
     if n_sp >= 2 and len(jax.devices()) > n_sp:
         import numpy as np
         from jax.sharding import Mesh

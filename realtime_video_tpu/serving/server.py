@@ -131,7 +131,8 @@ async def download_video(request: web.Request) -> web.Response:
     )
 
 
-async def ws_session(websocket: web.WebSocketResponse, id: str, config, models: Models):
+async def ws_session(websocket: web.WebSocketResponse, id: str, config,
+                     models: Models, query=None):
     loop = asyncio.get_event_loop()
     await websocket.send_json({"status": "ready", "worker": socket.gethostname()})
 
@@ -172,7 +173,7 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config, models: 
             session_frame_locks[id] = threading.Lock()
 
         frame_queue: asyncio.Queue = asyncio.Queue()
-        use_msgpack = websocket._req.query.get("fmt", "jpeg") == "msgpack"
+        use_msgpack = (query or {}).get("fmt", "jpeg") == "msgpack"
 
         async def frame_sender():
             while True:
@@ -311,6 +312,7 @@ async def app_session(request: web.Request) -> web.WebSocketResponse:
     await ws_session(
         ws, request.match_info["id"],
         config=request.app["config"], models=request.app["models"],
+        query=request.query,
     )
     return ws
 
