@@ -1,4 +1,5 @@
-"""Ulysses-style sequence parallelism for the bidirectional teacher path.
+"""Sequence parallelism (Ulysses, ring, and the USP hybrid) for the
+bidirectional teacher path.
 
 The reference shards the 50-step teacher's 32760-token sequence across GPUs
 with xDiT USP (wan/distributed/xdit_context_parallel.py:149-184 calls
@@ -75,6 +76,121 @@ def ulysses_attention(
     return jax.lax.all_to_all(
         o, axis_name=axis_name, split_axis=1, concat_axis=2, tiled=True
     )
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    axis_size: int,
+    scale: Optional[float] = None,
+):
+    """Exact full attention over a sequence-sharded batch via a KV ring.
+
+    q/k/v: [B, L_local, N, D] with L sharded over `axis_name` (inside
+    `shard_map`). Unlike Ulysses, heads need NOT be divisible by the axis —
+    each device keeps ALL heads and rotates KV chunks around the ring with
+    `ppermute` (the ring half of the reference's xFuserLongContextAttention
+    hybrid, xdit_context_parallel.py:179-184), combining partial softmaxes
+    flash-style (running max / rescaled accumulator).
+
+    axis_size is static (mesh.shape[axis]); the ring unrolls to axis_size
+    steps so XLA can overlap the ppermute of chunk i+1 with the matmul of
+    chunk i over ICI.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, lq, n, d = q.shape
+    qf = q.astype(jnp.float32) * scale
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    m = jnp.full((b, n, lq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, n, lq, 1), jnp.float32)
+    acc = jnp.zeros((b, n, lq, d), jnp.float32)
+    k_cur, v_cur = k, v
+    for step in range(axis_size):
+        kf = k_cur.astype(jnp.float32)
+        vf = v_cur.astype(jnp.float32)
+        # [B, N, Lq, Lk_local]
+        s = jnp.einsum("blnd,bknd->bnlk", qf, kf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bnlk,bknd->bnld", p, vf)
+        m = m_new
+        if step != axis_size - 1:
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, Lq, N, D]
+
+
+def usp_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    ulysses_axis: str,
+    ring_axis: str,
+    ring_size: int,
+    scale: Optional[float] = None,
+):
+    """Hybrid USP attention (Ulysses all-to-all x ring), inside `shard_map`.
+
+    The sequence axis is sharded over BOTH mesh axes. The Ulysses all-to-all
+    gathers sequence within the ulysses group while splitting heads (heads
+    need only be divisible by the ulysses degree, not the full sp size —
+    exactly the constraint xFuserLongContextAttention relaxes); the residual
+    sequence sharding over the ring group is handled by ring_attention.
+    """
+    a2a = partial(
+        jax.lax.all_to_all, axis_name=ulysses_axis, split_axis=2,
+        concat_axis=1, tiled=True,
+    )
+    qg, kg, vg = a2a(q), a2a(k), a2a(v)
+    o = ring_attention(qg, kg, vg, ring_axis, ring_size, scale)
+    return jax.lax.all_to_all(
+        o, axis_name=ulysses_axis, split_axis=1, concat_axis=2, tiled=True
+    )
+
+
+def make_usp_attention(
+    mesh: Mesh, ulysses_axis: str = "sp_u", ring_axis: str = "sp_r"
+):
+    """Build a jittable full-sequence attention fn with hybrid USP over the
+    (ring, ulysses) mesh axes — the TPU answer to xFuserLongContextAttention.
+
+    Returned fn takes q/k/v [B, L, N, D] (global view; L divisible by
+    ring*ulysses, N divisible by the ulysses degree only) and computes exact
+    full attention holding L/(ring*ulysses) tokens per device.
+    """
+    ring_size = mesh.shape[ring_axis]
+    spec = P(None, (ring_axis, ulysses_axis), None, None)
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+    def sp_attn(q, k, v):
+        return usp_attention(q, k, v, ulysses_axis, ring_axis, ring_size)
+
+    return sp_attn
+
+
+def make_ring_attention(mesh: Mesh, axis: str = "sp"):
+    """Pure-ring variant: no head-divisibility constraint at all."""
+    ring_size = mesh.shape[axis]
+    spec = P(None, axis, None, None)
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+    def sp_attn(q, k, v):
+        return ring_attention(q, k, v, axis, ring_size)
+
+    return sp_attn
 
 
 def make_sp_attention(mesh: Mesh, axis: str = "sp"):
