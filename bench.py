@@ -34,6 +34,7 @@ def main() -> None:
         load_server_config,
     )
     from realtime_video_tpu.models import vae as vae_mod
+    from realtime_video_tpu.models import wan_dit as wan_dit_mod
     from realtime_video_tpu.models.diffusion_wrapper import WanDiffusion
     from realtime_video_tpu.models.vae_wrapper import VAEWrapper
     from realtime_video_tpu.ops import kv_cache as kvc
@@ -97,8 +98,17 @@ def main() -> None:
     int8_dit = os.getenv("RTV_BENCH_INT8_DIT", "1") in ("1", "true") and not tiny
     int8_vae = os.getenv("RTV_BENCH_INT8", "1") in ("1", "true") and not tiny
     use_taehv = os.getenv("RTV_BENCH_TAEHV", "0") in ("1", "true") and not tiny
-    gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True,
-                       quantize_linears=int8_dit)
+    gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True)
+    if int8_dit:
+        act_scales = None
+        if os.getenv("RTV_BENCH_INT8_DIT_STATIC", "1") in ("1", "true"):
+            # calibrated static activation scales (mirrors the VAE's
+            # +0.42 fps static-amax win): one eager float pass per denoise
+            # timestep at small spatial dims, then no amax pass at serving time
+            act_scales = gen.calibrate_act_scales(steps)
+        gen.params = wan_dit_mod.quantize_wan_linears(
+            gen.params, act_scales=act_scales
+        )
     # with >=2 attached devices the VAE rides its own chip: decode of block n
     # overlaps the denoise of block n+1 (both dispatch async; different
     # devices execute concurrently). No-op on the single tunnel chip.

@@ -61,6 +61,57 @@ class WanDiffusion:
         self.rope = RopeTables.create(cfg.head_dim)
         self.seq_len = 32760  # max tokens (wan_wrapper.py:153)
 
+    def calibrate_act_scales(
+        self,
+        steps: Tuple[float, ...],
+        lat_h: int = 16,
+        lat_w: int = 16,
+        kv_frames: int = 6,
+        nfpb: int = 3,
+        seed: int = 0,
+    ) -> dict:
+        """Record per-(site, layer) activation maxima over eager float decode
+        forwards at each denoise timestep (+ the t=0 context-refresh pass) —
+        the DiT analog of the VAE's TRT-style calibration and of torchao's
+        static quant configs (release_server.py:179-182). Feed the result to
+        quantize_wan_linears(act_scales=) for static int8 activation scales.
+
+        Runs eagerly at small spatial dims (activation magnitudes transfer
+        across resolution); must be called BEFORE quantization."""
+        from realtime_video_tpu.ops import kv_cache as kvc
+
+        cfg = self.cfg
+        qkv = self.params["blocks"]["self_attn"].get("qkv") or \
+            self.params["blocks"]["self_attn"].get("q")
+        assert "w" in qkv, "calibrate on float params, before quantize"
+        fsl = cfg.frame_seq_length(lat_h, lat_w)
+        cache_size = kv_frames * fsl
+        ts = list(steps) + [0.0]
+        rngs = jax.random.split(jax.random.PRNGKey(seed), len(ts) + 1)
+        ctx = jax.random.normal(rngs[-1], (1, 512, cfg.text_dim), jnp.bfloat16)
+        cross = self.compute_crossattn_cache(self.params, ctx)
+        kv = kvc.init_kv_cache(
+            cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim
+        )
+        wan_dit._ACT_CALIB = []
+        try:
+            for i, t in enumerate(ts):
+                noisy = jax.random.normal(
+                    rngs[i], (1, nfpb, 16, lat_h, lat_w), jnp.bfloat16
+                )
+                tt = jnp.full((1, nfpb), float(t), jnp.float32)
+                _, _, kv = self.forward(
+                    self.params, noisy, cross, tt, kv_cache=kv,
+                    current_start=(kv_frames - nfpb) * fsl, mode="decode",
+                    max_attention_size=cache_size,
+                )
+            records = list(wan_dit._ACT_CALIB)
+        finally:
+            wan_dit._ACT_CALIB = None
+        return wan_dit.calibrate_wan_act_scales(
+            records, self.params["blocks"], cfg.num_layers
+        )
+
     # -- pure compute ------------------------------------------------------
 
     def compute_crossattn_cache(

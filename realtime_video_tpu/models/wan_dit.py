@@ -49,17 +49,31 @@ Params = Dict[str, Any]
 
 _AMAX_SUB = int(_os.getenv("RTV_DIT_AMAX_SUB", "1"))
 
+#: when a list, eager (python-scan) block forwards record max|input| of every
+#: block linear, in call order — the DiT analog of the VAE's TRT-style
+#: calibration (calibrate_vae_act_scales). See calibrate_wan_act_scales.
+_ACT_CALIB: Optional[list] = None
+_IN_SCAN = False
+
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if _ACT_CALIB is not None and _IN_SCAN and "w" in p \
+            and hasattr(p["w"], "ndim") and p["w"].ndim == 2:
+        _ACT_CALIB.append(float(jnp.max(jnp.abs(x.astype(jnp.float32)))))
     if "w_q" in p:
-        # int8 weights + dynamic per-tensor activation scale (the TPU analog
-        # of the reference's torchao quantized linears, release_server.py:179-182;
-        # int8 MXU throughput is 2x bf16 on v5e).
+        # int8 weights + per-tensor activation scale (the TPU analog of the
+        # reference's torchao quantized linears, release_server.py:179-182;
+        # int8 MXU throughput is 2x bf16 on v5e). Activation scale is STATIC
+        # (calibrated per site+layer — no amax pass at all) when "a_scale"
+        # is present, else a dynamic per-call amax.
         # RTV_DIT_AMAX_SUB=k>1: estimate amax from every k-th token row (1/k
         # the reduce traffic; values beyond the estimate saturate at +-127)
-        xa = x[..., ::_AMAX_SUB, :] if _AMAX_SUB > 1 and x.ndim >= 2 else x
-        amax = jnp.maximum(jnp.max(jnp.abs(xa.astype(jnp.float32))), 1e-6)
-        a_scale = amax / 127.0
+        if "a_scale" in p:
+            a_scale = p["a_scale"].astype(jnp.float32)
+        else:
+            xa = x[..., ::_AMAX_SUB, :] if _AMAX_SUB > 1 and x.ndim >= 2 else x
+            amax = jnp.maximum(jnp.max(jnp.abs(xa.astype(jnp.float32))), 1e-6)
+            a_scale = amax / 127.0
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
         ).astype(jnp.int8)
@@ -74,33 +88,101 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def quantize_wan_linears(params: Params) -> Params:
-    """int8-quantise the transformer block linears (self/cross attention
-    projections + FFN) with per-output-channel weight scales. Embeddings,
-    norms, modulation and the head stay in bf16/f32."""
+def _calib_site_order(blocks: Params):
+    """The block-linear call order inside the layer body — must match `body`
+    in dit_forward (self-attn proj(s), o, cross q, cross o, ffn fc1, fc2)."""
+    sa = blocks["self_attn"]
+    sites = ([("self_attn", "qkv")] if "qkv" in sa else
+             [("self_attn", "q"), ("self_attn", "k"), ("self_attn", "v")])
+    sites += [("self_attn", "o"), ("cross_attn", "q"), ("cross_attn", "o"),
+              ("ffn", "fc1"), ("ffn", "fc2")]
+    return sites
+
+
+def _python_scan(body, carry, xs):
+    """Eager per-layer loop standing in for the layer lax.scan during
+    activation calibration (so `linear` sees concrete per-layer values)."""
+    global _IN_SCAN
+    num = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    ys = []
+    _IN_SCAN = True
+    try:
+        for i in range(num):
+            x_i = jax.tree_util.tree_map(lambda a: a[i], xs)
+            carry, y = body(carry, x_i)
+            ys.append(y)
+    finally:
+        _IN_SCAN = False
+    stacked = None if ys[0] is None else jnp.stack(ys)
+    return carry, stacked
+
+
+def calibrate_wan_act_scales(records: list, blocks: Params, num_layers: int):
+    """Fold flat call-order calibration records into {(group, name): [L] amax}.
+
+    records: concatenation over >=1 forwards of per-layer, per-site amaxes
+    (what `linear` appended under _ACT_CALIB). Multiple forwards (e.g. one
+    per denoise timestep) are max-reduced elementwise."""
     import numpy as np
 
-    def quant(p):
+    sites = _calib_site_order(blocks)
+    per_fwd = num_layers * len(sites)
+    assert records and len(records) % per_fwd == 0, (
+        len(records), per_fwd,
+        "calibration records do not tile (gan_classify taps are not "
+        "supported during calibration)",
+    )
+    arr = np.asarray(records, np.float64).reshape(-1, num_layers, len(sites))
+    amax = arr.max(axis=0)  # [L, sites]
+    return {site: amax[:, j] for j, site in enumerate(sites)}
+
+
+def quantize_wan_linears(
+    params: Params, act_scales: Optional[dict] = None, margin: float = 1.5
+) -> Params:
+    """int8-quantise the transformer block linears (self/cross attention
+    projections + FFN) with per-output-channel weight scales. Embeddings,
+    norms, modulation and the head stay in bf16/f32.
+
+    act_scales: {(group, name): [L] amax} from calibrate_wan_act_scales —
+    matching sites get a STATIC per-layer activation scale (amax * margin /
+    127, stacked [L] so the layer scan slices it), dropping the per-call
+    dynamic amax pass (the VAE's measured +0.42 fps analog)."""
+    import numpy as np
+
+    def quant(p, a_amax=None):
         w = np.asarray(p["w"], np.float32)  # [L, in, out]
         scale = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0  # [L, out]
         wq = np.clip(np.round(w / scale[:, None, :]), -127, 127).astype(np.int8)
         out = {"w_q": jnp.asarray(wq), "scale": jnp.asarray(scale, jnp.float32)}
+        if a_amax is not None:
+            out["a_scale"] = jnp.asarray(
+                np.maximum(a_amax, 1e-6) * margin / 127.0, jnp.float32
+            )
         if "b" in p:
             out["b"] = p["b"]
         return out
 
     blocks = params["blocks"]
 
-    def walk(node):
+    def walk(node, group):
         if isinstance(node, dict):
             if "w" in node and hasattr(node["w"], "ndim") and node["w"].ndim == 3:
                 return quant(node)
-            return {k: walk(v) for k, v in node.items()}
+            out = {}
+            for k, v in node.items():
+                if act_scales and (group, k) in act_scales and isinstance(v, dict) \
+                        and "w" in v and hasattr(v["w"], "ndim") and v["w"].ndim == 3:
+                    out[k] = quant(v, act_scales[(group, k)])
+                else:
+                    out[k] = walk(v, group)
+            return out
+
         return node
 
     new_blocks = dict(blocks)
     for key in ("self_attn", "cross_attn", "ffn"):
-        new_blocks[key] = walk(blocks[key])
+        new_blocks[key] = walk(blocks[key], key)
     return dict(params, blocks=new_blocks)
 
 
@@ -655,9 +737,14 @@ def dit_forward(
     # weight prefetches across layers and fuses across block boundaries.
     # Costs compile time; training keeps the rolled loop (remat-friendly).
     unroll = int(_os.getenv("RTV_DIT_UNROLL", "1"))
-    (tokens, new_k, new_v), tap_tokens = jax.lax.scan(
-        body, carry0, xs, unroll=unroll if unroll > 1 else 1
-    )
+    if _ACT_CALIB is not None:
+        # calibration: eager per-layer loop so `linear` records concrete
+        # per-site activation maxima (lax.scan traces the body only once)
+        (tokens, new_k, new_v), tap_tokens = _python_scan(body, carry0, xs)
+    else:
+        (tokens, new_k, new_v), tap_tokens = jax.lax.scan(
+            body, carry0, xs, unroll=unroll if unroll > 1 else 1
+        )
 
     logits = None
     if gan_classify is not None:
