@@ -189,6 +189,21 @@ def causal_conv3d(
         kt, kh, kw = p["w"].shape[:3]
     pad_t, pad_h, pad_w = 2 * (kt // 2), kh // 2, kw // 2
     if pad_t > 0:
+        if cache is None and x.shape[0] == 1:
+            # fresh single-frame chunk — THE anti-drift re-encode
+            # (release_server.py:573-575) and the first decode chunk. The
+            # zero-padded temporal taps contribute exactly nothing, so run
+            # only the last tap's 2D conv: 1/kt the FLOPs and no tap-concat
+            # materialisation (T=1 is per-conv-overhead-bound).
+            _record_calib(p, x)  # record under the ORIGINAL param dict
+            new_cache = jnp.concatenate(
+                [jnp.zeros_like(x), x], axis=0
+            )[-CACHE_T:]
+            io.put(new_cache)
+            key = "w_q" if "w_q" in p else "w"
+            p_last = dict(p, **{key: p[key][kt - 1:]})
+            spad = ((pad_h, pad_h), (pad_w, pad_w)) if (pad_h or pad_w) else "VALID"
+            return conv3d(p_last, x, stride=stride, padding=spad)
         if cache is None:
             xin = jnp.pad(x, ((pad_t, 0), (0, 0), (0, 0), (0, 0)))
             new_cache = x[-CACHE_T:]
