@@ -98,17 +98,33 @@ def main() -> None:
     int8_dit = os.getenv("RTV_BENCH_INT8_DIT", "1") in ("1", "true") and not tiny
     int8_vae = os.getenv("RTV_BENCH_INT8", "1") in ("1", "true") and not tiny
     use_taehv = os.getenv("RTV_BENCH_TAEHV", "0") in ("1", "true") and not tiny
-    gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0, fuse_qkv=True)
     if int8_dit:
-        act_scales = None
-        if os.getenv("RTV_BENCH_INT8_DIT_STATIC", "1") in ("1", "true"):
-            # calibrated static activation scales (mirrors the VAE's
-            # +0.42 fps static-amax win): one eager float pass per denoise
-            # timestep at small spatial dims, then no amax pass at serving time
-            act_scales = gen.calibrate_act_scales(steps)
-        gen.params = wan_dit_mod.quantize_wan_linears(
-            gen.params, act_scales=act_scales
+        # build + calibrate + quantize on the HOST: the int8 path round-trips
+        # params through numpy anyway, and the eager calibration forwards
+        # would otherwise churn the (slow, sometimes sick) tunnel compile
+        # service with dozens of tiny one-off programs
+        cpu0 = jax.devices("cpu")[0]
+        os.environ["RTV_DISABLE_PALLAS"] = "1"
+        try:
+            with jax.default_device(cpu0):
+                gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16,
+                                   timestep_shift=5.0, fuse_qkv=True)
+                act_scales = None
+                if os.getenv("RTV_BENCH_INT8_DIT_STATIC", "1") in ("1", "true"):
+                    # calibrated static activation scales (mirrors the VAE's
+                    # +0.42 fps static-amax win): one eager float pass per
+                    # denoise timestep at small spatial dims, then no amax
+                    # pass at all at serving time
+                    act_scales = gen.calibrate_act_scales(steps)
+        finally:
+            del os.environ["RTV_DISABLE_PALLAS"]
+        gen.params = jax.device_put(
+            wan_dit_mod.quantize_wan_linears(gen.params, act_scales=act_scales),
+            dev,
         )
+    else:
+        gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0,
+                           fuse_qkv=True)
     # with >=2 attached devices the VAE rides its own chip: decode of block n
     # overlaps the denoise of block n+1 (both dispatch async; different
     # devices execute concurrently). No-op on the single tunnel chip.

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Conv-formulation sweep, gated on a healthy compile service (VERDICT r2 #1).
+# Probes first; refuses to run (and poison the compile cache) while sick.
+# Usage: bash bench/run_conv_sweep.sh [logfile]
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/conv_sweep.log}"
+
+echo "== probe ==" | tee -a "$LOG"
+PROBE=$(python bench/compile_probe.py 2>/dev/null | tail -1)
+echo "$PROBE" | tee -a "$LOG"
+if ! echo "$PROBE" | grep -q HEALTHY; then
+    echo "compile service SICK — refusing to sweep" | tee -a "$LOG"
+    exit 1
+fi
+
+for shape in 96 192 384; do
+    for v in conv threeconv shifted im2col phase int8; do
+        echo "== $shape $v ==" | tee -a "$LOG"
+        python bench/conv_micro.py --shape "$shape" --variant "$v" 2>/dev/null \
+            | tail -1 | tee -a "$LOG"
+    done
+done
+echo "sweep done: $LOG"
