@@ -59,6 +59,14 @@ INT8_QK = _os.getenv("RTV_ATTN_INT8", "0") in ("1", "true")
 # Measured SLOWER (3.59 vs 2.81 ms/layer): the scratch spill traffic beats
 # any overlap Mosaic finds. Kept opt-in for re-testing on other chips.
 SKEW = _os.getenv("RTV_ATTN_SKEW", "0") in ("1", "true")
+# staticmax + skew hybrid (round-3 retry of the skew idea): the static-max
+# form has NO cross-tile alpha/rescale chain, so tile contributions are fully
+# independent — the only coupling the skew must carry across grid steps is
+# the score spill itself. V lags K by one grid step; phase B is just
+# exp2 + rowsum + PV with no running-max serialization. Opt-in for on-chip
+# A/B (the plain skew measured 3.59 ms/layer vs 2.35 staticmax).
+SKEW2 = _os.getenv("RTV_ATTN_SKEW2", "0") in ("1", "true")
+BK2 = int(_os.getenv("RTV_ATTN_SKEW2_BK", "512"))  # skew2 KV tile (spill size)
 # static-max softmax: qk-normed logits are bounded, so a per-call upper bound
 # M (from the MEASURED max row norms of q and k) replaces the running max —
 # no rowmax pass, no alpha corrections, no serial m-chain across KV tiles.
@@ -283,6 +291,109 @@ def _staticmax_call(
     )(bounds, m_bound, q, k, v)
 
 
+def _staticmax_skew_kernel(
+    bounds_ref,  # [lo, hi] int32
+    m_ref,  # [1] f32 — upper bound on the (pre-scaled, log2-domain) logits
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BK, D]  tile min(ki, nk-1)
+    v_ref,  # [1, 1, BK, D]  tile max(ki-1, 0)  (lags K by one step)
+    o_ref,  # [1, 1, BQ, D]
+    s_scr,  # [2, BQ, BK] f32 — double-buffered masked scores (incl. -M)
+    l_scr,  # [BQ, 1] f32
+    acc_scr,  # [BQ, D] f32
+    *,
+    bq: int,
+    bk: int,
+    nk: int,  # real KV tiles; the grid runs nk+1 steps
+):
+    ki = pl.program_id(3)
+    lo = bounds_ref[0]
+    hi = bounds_ref[1]
+    M = m_ref[0]
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # phase A (MXU): score tile min(ki, nk-1) into the spill buffer. The -M
+    # shift rides the mask bias, so phase B is exp2 directly on the spill.
+    kt = jnp.minimum(ki, nk - 1)
+    kv_base = kt * bk
+    q = q_ref[0, 0, :, :]
+    s = jax.lax.dot_general(
+        q, k_ref[0, 0, :, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    bias = jnp.where((col >= lo) & (col < hi), -M, NEG_INF)
+    s_scr[ki % 2] = s + bias
+
+    # phase B (VPU + MXU): tile ki-1's contribution — NO running max, no
+    # alpha corrections, no cross-tile data dependency beyond the spill:
+    # phase A of step ki is free to overlap with phase B of step ki.
+    @pl.when(ki > 0)
+    def _process():
+        p = jnp.exp2(s_scr[(ki + 1) % 2])  # <= 1 by construction of M
+        v = v_ref[0, 0, :, :]
+        l_scr[...] = l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == nk)
+    def _finish():
+        l = jnp.maximum(l_scr[...], 1e-30)
+        o_ref[0, 0, :, :] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def _staticmax_skew_call(
+    q: jnp.ndarray,  # [B, N, Lq, D] padded, pre-scaled
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bounds: jnp.ndarray,  # [2] int32
+    m_bound: jnp.ndarray,  # [1] f32
+    bq: int,
+    bk: int,
+) -> jnp.ndarray:
+    b, n, lq, d = q.shape
+    lk = k.shape[2]
+    nk = lk // bk
+    grid = (b, n, lq // bq, nk + 1)
+    kernel = functools.partial(_staticmax_skew_kernel, bq=bq, bk=bk, nk=nk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), lambda b_, n_, qi, ki, bounds, m: (b_, n_, qi, 0)),
+                pl.BlockSpec(
+                    (1, 1, bk, d),
+                    lambda b_, n_, qi, ki, bounds, m: (b_, n_, jnp.minimum(ki, nk - 1), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bk, d),
+                    lambda b_, n_, qi, ki, bounds, m: (b_, n_, jnp.maximum(ki - 1, 0), 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, d), lambda b_, n_, qi, ki, bounds, m: (b_, n_, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bq, bk), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(bounds, m_bound, q, k, v)
+
+
 def _logit_bound(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """[1] f32 upper bound on q·k over all (row, col) pairs: max row norm of
     q times max row norm of k (q already carries scale*log2e)."""
@@ -491,6 +602,22 @@ def decode_attention(
         [jnp.asarray(lo, jnp.int32),
          jnp.minimum(jnp.asarray(hi, jnp.int32), Lk)]
     )
+    if SKEW2 and not INT8_QK:
+        bk2 = min(BK2, _round_up(Lk, 128))
+        qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
+        kp = _pad_seq(k.transpose(0, 2, 1, 3), bk2)
+        vp = _pad_seq(v.transpose(0, 2, 1, 3), bk2)
+        m_bound = _logit_bound(qp, k)
+        out = jax.lax.cond(
+            m_bound[0] < 64.0,  # same underflow guard as the staticmax path
+            lambda: _staticmax_skew_call(
+                qp, kp, vp, bounds, m_bound, bq=bq, bk=bk2
+            ),
+            lambda: _flash_call(
+                qp, kp, vp, bounds, "window", Lk, bq=bq, bkm=bk2, bk=bk2
+            ),
+        )
+        return out[:, :, :Lq].transpose(0, 2, 1, 3)
     if SKEW and not INT8_QK:
         bq = min(bq, 512)  # s_scr is [2, bq, bk] f32 — bound VMEM
         qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)

@@ -73,6 +73,23 @@ def test_skew_pipeline_matches_xla(monkeypatch, lo, hi):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("lo,hi", [(0, 700), (100, 512), (0, 1024)])
+def test_staticmax_skew_matches_xla(monkeypatch, lo, hi):
+    """RTV_ATTN_SKEW2 variant: static-max softmax + V-lags-K skew (no
+    running-max chain at all — tile contributions are independent)."""
+    monkeypatch.setattr(pat, "SKEW2", True)
+    b, lq, lk, n, d = 1, 200, 1024, 2, 128
+    q, k, v = _rand((b, lq, n, d), 0), _rand((b, lk, n, d), 1), _rand((b, lk, n, d), 2)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lk), 1)
+    mask = ((kv_pos >= lo) & (kv_pos < hi))[None, None]
+    want = attn_ops.xla_attention(q, k, v, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = pat.decode_attention(
+            q, k, v, jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32)
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("lo,hi", [(0, 700), (100, 512)])
 def test_staticmax_matches_xla(monkeypatch, lo, hi):
     """RTV_ATTN_STATICMAX variant (bounded-logit softmax without a running
