@@ -44,8 +44,8 @@ def main() -> None:
     p.add_argument("--shape", choices=list(SHAPES), default="96")
     p.add_argument("--variant", default="conv",
                    choices=["conv", "shifted", "im2col", "phase", "int8",
-                            "threeconv", "matmul", "conv1x1", "copy",
-                            "bigmm"])
+                            "int8shifted", "threeconv", "matmul", "conv1x1",
+                            "copy", "bigmm"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--check", action="store_true",
                    help="CPU equality check vs the conv formulation (small shape)")
@@ -96,6 +96,27 @@ def main() -> None:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
             return (yq.astype(jnp.float32) * (a_scale * scale) + b).astype(x.dtype)
+    elif args.variant == "int8shifted":
+        # the int8 tier through the shifted-einsum formulation (what
+        # RTV_VAE_CONV=shifted does to the production int8 path)
+        wq_ = jnp.clip(jnp.round(kw_.astype(jnp.float32) / 2e-4), -127, 127
+                       ).astype(jnp.int8)
+        scale = jnp.full((C,), 2e-4, jnp.float32)
+
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            amax = jnp.maximum(jnp.max(jnp.abs(xin.astype(jnp.float32))), 1e-6)
+            a_scale = amax / 127.0
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a_scale),
+                          -127, 127).astype(jnp.int8)
+            y = None
+            for di in range(3):
+                for dj in range(3):
+                    yi = jnp.einsum(
+                        "thwc,co->thwo", xq[:, di : di + H, dj : dj + W, :],
+                        wq_[di, dj], preferred_element_type=jnp.int32)
+                    y = yi if y is None else y + yi
+            return (y.astype(jnp.float32) * (a_scale * scale) + b).astype(x.dtype)
     elif args.variant == "matmul":
         # CONTROL: same M/K/N as one tap-position of the conv, as 9 pure
         # einsums with distinct weights (CSE-proof) on the SAME unshifted
@@ -263,7 +284,7 @@ def main() -> None:
 
         got, want = np.asarray(conv(x0), np.float32), np.asarray(ref(x0), np.float32)
         # int8 carries dynamic-quantisation noise by design
-        atol = 0.5 if args.variant == "int8" else 2e-2
+        atol = 0.5 if args.variant.startswith("int8") else 2e-2
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=atol)
         print(f"{label}: check ok (max err {np.abs(got - want).max():.4f})")
         return

@@ -18,6 +18,7 @@ vae_block3.py:195-230, was already shaped for this), norms in f32.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -76,6 +77,41 @@ def _record_calib(p: Params, x: jnp.ndarray) -> None:
         _ACT_CALIB[id(p)] = max(_ACT_CALIB.get(id(p), 0.0), amax)
 
 
+#: spatial-conv formulation for the 3x3 stride-1 convs (bench/conv_micro.py
+#: sweep): "conv" = lax.conv (the conv engine; pays a relayout copy per conv
+#: when elementwise ops sit between convs — measured ~28% of decode), or
+#: "shifted" = 9 shift+einsum matmuls that never enter the conv engine's
+#: [H, T, 8, W/8, C] layout. Equality-tested; default decided by on-chip A/B.
+_CONV_VARIANT = os.getenv("RTV_VAE_CONV", "conv")
+
+
+def _spatial_conv(x, w, stride=(1, 1), padding="VALID", preferred=None):
+    """One 2D conv, formulation-switchable. x [N,H,W,Ci], w [kh,kw,Ci,Co]."""
+    kh, kw = w.shape[:2]
+    if _CONV_VARIANT == "shifted" and kh == 3 and kw == 3 and stride == (1, 1):
+        if padding != "VALID":
+            (ph0, ph1), (pw0, pw1) = padding
+            if ph0 or ph1 or pw0 or pw1:
+                x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+        ho, wo = x.shape[1] - 2, x.shape[2] - 2
+        y = None
+        for di in range(3):
+            for dj in range(3):
+                kwargs = {} if preferred is None else {
+                    "preferred_element_type": preferred}
+                yi = jnp.einsum(
+                    "thwc,co->thwo", x[:, di : di + ho, dj : dj + wo, :],
+                    w[di, dj], **kwargs,
+                )
+                y = yi if y is None else y + yi
+        return y
+    kwargs = {} if preferred is None else {"preferred_element_type": preferred}
+    return jax.lax.conv_general_dilated(
+        x, w, stride, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs,
+    )
+
+
 def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.ndarray:
     """3D conv decomposed into kt 2D convs summed over temporal taps.
 
@@ -104,10 +140,7 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     T, H, W, C = x.shape  # THWC: time is the conv batch axis, so TPU tiling
     t_out = (T - kt) // st + 1  # lands on (W, C) with no sublane-time padding
     if kt == 1:
-        y = jax.lax.conv_general_dilated(
-            x[::st], w[0], (sh, sw), padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        y = _spatial_conv(x[::st], w[0], (sh, sw), padding)
     elif st == 1:
         # channel-concat the kt shifted temporal views and run ONE wide conv:
         # y[t] = sum_i conv2d(x[t+i], w[i]) == conv2d(cat_c(x[t..t+kt]), cat_ci(w)).
@@ -116,18 +149,12 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
         taps = [x[i : i + t_out] for i in range(kt)]
         xin = jnp.concatenate(taps, axis=-1)
         w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, w.shape[-1])
-        y = jax.lax.conv_general_dilated(
-            xin, w2, (sh, sw), padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        y = _spatial_conv(xin, w2, (sh, sw), padding)
     else:  # strided temporal conv (encoder downsample3d) — per-tap sum
         y = None
         for i in range(kt):
             xi = x[i : i + st * (t_out - 1) + 1 : st]
-            yi = jax.lax.conv_general_dilated(
-                xi, w[i], (sh, sw), padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            yi = _spatial_conv(xi, w[i], (sh, sw), padding)
             y = yi if y is None else y + yi
     return y + p["b"].astype(x.dtype)
 
@@ -147,11 +174,7 @@ def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> j
         amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
         a_scale = amax / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127).astype(jnp.int8)
-    yq = jax.lax.conv_general_dilated(
-        xq, p["w_q"], stride, padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
+    yq = _spatial_conv(xq, p["w_q"], stride, padding, preferred=jnp.int32)
     y = yq.astype(jnp.float32) * (a_scale * p["scale"].astype(jnp.float32))
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
@@ -164,12 +187,7 @@ def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.nda
             wq = wq[0]
         return _int8_conv2d(dict(p, w_q=wq), x, stride, padding)
     _record_calib(p, x)
-    y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype),
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    y = _spatial_conv(x, p["w"].astype(x.dtype), stride, padding)
     return y + p["b"].astype(x.dtype)
 
 

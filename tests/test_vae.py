@@ -117,3 +117,38 @@ def test_fused_upsample_conv_int8_composes():
     err = np.abs(np.asarray(got) - np.asarray(want))
     assert np.mean(err) < 0.02, np.mean(err)
     assert np.max(err) < 0.25, np.max(err)
+
+
+def test_shifted_conv_variant_matches_conv(params, monkeypatch):
+    """RTV_VAE_CONV=shifted (9 shift+einsum matmuls, no conv engine) must be
+    numerically equivalent to the lax.conv formulation — both for the fresh
+    first chunk (T=1 tap-skip path) and a streaming chunk."""
+    import numpy as np
+
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 8, 8, CFG.z_dim), jnp.float32)
+    ref0, rc = vae.decode_chunks(CFG, params, z[:, :1], None, first=True)
+    ref1, _ = vae.decode_chunks(CFG, params, z[:, 1:], rc, first=False)
+    video = jax.random.uniform(jax.random.PRNGKey(4), (1, 5, 32, 32, 3), jnp.float32)
+    refz, _ = vae.encode_chunks(CFG, params, video)
+
+    monkeypatch.setattr(vae, "_CONV_VARIANT", "shifted")
+    got0, gc = vae.decode_chunks(CFG, params, z[:, :1], None, first=True)
+    got1, _ = vae.decode_chunks(CFG, params, z[:, 1:], gc, first=False)
+    gotz, _ = vae.encode_chunks(CFG, params, video)
+
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gotz), np.asarray(refz), rtol=2e-4, atol=2e-4)
+
+
+def test_shifted_conv_variant_matches_conv_int8(params, monkeypatch):
+    """The int8 tier under the shifted formulation: identical quantised math
+    (same a_scale decisions), so outputs must match the int8 conv path."""
+    import numpy as np
+
+    qp = vae.quantize_vae_params(params)
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 8, 8, CFG.z_dim), jnp.float32)
+    ref, _ = vae.decode_chunks(CFG, qp, z, None, first=True)
+    monkeypatch.setattr(vae, "_CONV_VARIANT", "shifted")
+    got, _ = vae.decode_chunks(CFG, qp, z, None, first=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
