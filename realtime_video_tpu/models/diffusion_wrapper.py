@@ -132,6 +132,7 @@ class WanDiffusion:
         attn_mask: Optional[jnp.ndarray] = None,
         rolling: bool = False,
         sink_tokens: int = 0,
+        sp_attn=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
         """Returns (flow_pred, pred_x0, new_kv_cache) — mirrors
         WanDiffusionWrapper.forward (wan_wrapper.py:230-301)."""
@@ -153,6 +154,7 @@ class WanDiffusion:
             attn_mask=attn_mask,
             rolling=rolling,
             sink_tokens=sink_tokens,
+            sp_attn=sp_attn,
         )
         x0 = self.schedule.flow_to_x0(flow, noisy, t)
         return flow, x0, new_kv

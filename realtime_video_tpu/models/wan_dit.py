@@ -531,6 +531,7 @@ def dit_forward(
     gan_classify: Optional[Dict[str, Any]] = None,
     tf_concat: bool = False,
     prefill_block_tokens: Optional[int] = None,
+    sp_attn=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """One transformer forward. Returns (flow_pred [B,F,C,H,W], new_kv_cache).
 
@@ -579,9 +580,13 @@ def dit_forward(
         if attn_mask is None and prefill_block_tokens is None:
             raise ValueError("prefill requires attn_mask or prefill_block_tokens")
     elif mode == "train":
+        # attn_mask None = full bidirectional attention (the 50-step teacher,
+        # text2video.py generate) — mask-free, so no [L, L] mask tensor is
+        # ever materialised (1 GB at the 32760-token teacher shape) and the
+        # fast unmasked attention path applies. sp_attn (optional) replaces
+        # the self-attention with a sequence-parallel one (the xDiT USP
+        # monkey-patch analog, text2video.py:87-97).
         start_frame = jnp.zeros((), jnp.int32)
-        if attn_mask is None:
-            raise ValueError("train requires attn_mask")
     else:
         raise ValueError(mode)
 
@@ -632,7 +637,10 @@ def dit_forward(
             k = rope_apply_fused(k, rope_cos, rope_sin)
 
         if mode == "train":
-            y = attn_ops.attention(q, k, v, mask=mask_b)
+            if sp_attn is not None and mask_b is None:
+                y = sp_attn(q, k, v)
+            else:
+                y = attn_ops.attention(q, k, v, mask=mask_b)
         else:
             if mode == "decode" and rolling:
                 ck_l = kvc.shift_layer_cache(ck_all[lid], shift, sink_tokens)

@@ -18,7 +18,8 @@ from realtime_video_tpu.solvers import (
 
 
 class BidirectionalDiffusionInferencePipeline:
-    def __init__(self, config, generator: WanDiffusion, text_encoder=None, vae=None):
+    def __init__(self, config, generator: WanDiffusion, text_encoder=None,
+                 vae=None, sp_mesh=None):
         self.generator = generator
         self.text_encoder = text_encoder
         self.vae = vae
@@ -26,13 +27,35 @@ class BidirectionalDiffusionInferencePipeline:
         self.sample_solver = config.get("sample_solver", "unipc")
         self.sampling_steps = int(config.get("sampling_steps", 50))
         self.shift = float(config.get("timestep_shift", 5.0))
+        # sp_mesh: shard the 32760-token teacher sequence over these devices
+        # with hybrid USP attention (the reference runs its teacher under
+        # xDiT USP the same way, text2video.py:87-97)
+        self.sp_mesh = sp_mesh
         self._fwd = None
 
-    def _forward(self, params, cross, x, t, full_mask):
+    def _forward(self, params, cross, x, t, sp_attn=None):
+        # mask-free full bidirectional attention: no [L, L] mask tensor is
+        # materialised (1 GB at the 32760-token teacher shape)
         flow, _, _ = self.generator.forward(
-            params, x, cross, t, mode="train", attn_mask=full_mask
+            params, x, cross, t, mode="train", sp_attn=sp_attn
         )
         return flow
+
+    def _sp_attention(self):
+        """Build the USP attention fn for self.sp_mesh (the xDiT hybrid:
+        Ulysses degree = largest head divisor fitting the mesh, ring covers
+        the rest — xdit_context_parallel.py:179-184)."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from realtime_video_tpu.parallel.sequence import make_usp_attention
+
+        devs = np.asarray(self.sp_mesh.devices).reshape(-1)
+        n = devs.size
+        heads = self.generator.cfg.num_heads
+        uly = max(d for d in range(1, n + 1) if n % d == 0 and heads % d == 0)
+        mesh2 = Mesh(devs.reshape(n // uly, uly), ("sp_r", "sp_u"))
+        return make_usp_attention(mesh2, "sp_u", "sp_r"), mesh2
 
     def inference(
         self,
@@ -58,8 +81,16 @@ class BidirectionalDiffusionInferencePipeline:
         cross_neg = self.generator.compute_crossattn_cache(
             self.generator.params, neg_prompt_embeds.astype(jnp.bfloat16))
 
-        full_mask = jnp.ones((f * fsl, f * fsl), bool)  # full bidirectional attention
-        fwd = jax.jit(lambda p, cr, x, t: self._forward(p, cr, x, t, full_mask))
+        sp_attn = None
+        if self.sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sp_attn, mesh2 = self._sp_attention()
+            # frames (and so tokens, frame-major) sharded over all sp devices
+            noise = jax.device_put(
+                noise, NamedSharding(mesh2, P(None, ("sp_r", "sp_u")))
+            )
+        fwd = jax.jit(lambda p, cr, x, t: self._forward(p, cr, x, t, sp_attn))
 
         if self.sample_solver == "unipc":
             solver = FlowUniPCMultistep(shift=self.shift)

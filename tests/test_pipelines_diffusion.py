@@ -94,3 +94,24 @@ def test_causal_diffusion_with_initial_latent(gen):
     )
     assert latents.shape == (1, 6, 16, H, W)
     np.testing.assert_allclose(np.asarray(latents[:, :3]), np.asarray(init))
+
+
+def test_bidirectional_diffusion_usp_matches_single(gen):
+    """Teacher sampling under hybrid USP (sp_mesh over 8 devices, heads=2 so
+    ulysses=2 x ring=4) == the unsharded pipeline (same solver trajectory)."""
+    from jax.sharding import Mesh
+
+    config = load_server_config(guidance_scale=3.0, sampling_steps=2)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 16, H, W), jnp.float32)
+    ref_pipe = BidirectionalDiffusionInferencePipeline(config, gen)
+    _, ref = ref_pipe.inference(
+        noise, prompt_embeds=_embeds(), neg_prompt_embeds=_embeds(9),
+        return_latents=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    sp_pipe = BidirectionalDiffusionInferencePipeline(config, gen, sp_mesh=mesh)
+    _, got = sp_pipe.inference(
+        noise, prompt_embeds=_embeds(), neg_prompt_embeds=_embeds(9),
+        return_latents=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
