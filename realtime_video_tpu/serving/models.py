@@ -48,6 +48,33 @@ def load_transformer(config) -> WanDiffusion:
             cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True,
             fuse_qkv=True,
         )
+    if config.get("enable_int8_dit", config.get("enable_int8", False)):
+        # int8 block linears (the reference's enable_fp8 torchao quantize,
+        # release_server.py:179-182), with calibrated STATIC activation
+        # scales (torchao static-quant analog) unless disabled
+        from realtime_video_tpu.models import wan_dit
+        from realtime_video_tpu.scheduler import (
+            FlowMatchSchedule,
+            get_denoising_schedule,
+        )
+
+        act_scales = None
+        if config.get("int8_static_scales", True):
+            import numpy as np
+
+            schedule = FlowMatchSchedule.create(
+                shift=float(shift), sigma_min=0.0, extra_one_step=True
+            )
+            steps = tuple(float(t) for t in get_denoising_schedule(
+                np.asarray(schedule.zero_padded_timesteps()), 1.0,
+                int(config.get("num_denoising_steps", 5) or 5),
+            ))
+            act_scales = transformer.calibrate_act_scales(steps)
+        transformer.params = wan_dit.quantize_wan_linears(
+            transformer.params, act_scales=act_scales
+        )
+        log.info("DiT linears quantized to int8 (static scales: %s)",
+                 act_scales is not None)
     log.debug("Transformer load: %.2fs", time.time() - t0)
     return transformer
 
