@@ -23,6 +23,10 @@ os.environ.setdefault("RTV_STRICT_KERNELS", "1")
 def main() -> None:
     import jax
 
+    if os.getenv("RTV_BENCH_CPU", "0") in ("1", "true"):
+        # a JAX_PLATFORMS env var does NOT stick under the axon plugin (it
+        # pre-registers itself); only the config update does (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: tunnel compiles take minutes; cache them
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtv_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
