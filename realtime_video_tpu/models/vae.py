@@ -142,14 +142,23 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     if kt == 1:
         y = _spatial_conv(x[::st], w[0], (sh, sw), padding)
     elif st == 1:
-        # channel-concat the kt shifted temporal views and run ONE wide conv:
-        # y[t] = sum_i conv2d(x[t+i], w[i]) == conv2d(cat_c(x[t..t+kt]), cat_ci(w)).
-        # 3x wider input channels -> much better MXU utilisation than three
-        # narrow convs (or XLA's slow native Conv3D).
-        taps = [x[i : i + t_out] for i in range(kt)]
-        xin = jnp.concatenate(taps, axis=-1)
-        w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, w.shape[-1])
-        y = _spatial_conv(xin, w2, (sh, sw), padding)
+        if _CONV_VARIANT == "threeconv":
+            # no tap-concat materialisation: one 2D conv per temporal tap,
+            # summed (trades the kt*C-wide concat's write+read for kt
+            # narrower convs — sweep arm, bench/conv_micro.py)
+            y = None
+            for i in range(kt):
+                yi = _spatial_conv(x[i : i + t_out], w[i], (sh, sw), padding)
+                y = yi if y is None else y + yi
+        else:
+            # channel-concat the kt shifted temporal views and run ONE wide conv:
+            # y[t] = sum_i conv2d(x[t+i], w[i]) == conv2d(cat_c(x[t..t+kt]), cat_ci(w)).
+            # 3x wider input channels -> much better MXU utilisation than three
+            # narrow convs (or XLA's slow native Conv3D).
+            taps = [x[i : i + t_out] for i in range(kt)]
+            xin = jnp.concatenate(taps, axis=-1)
+            w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, w.shape[-1])
+            y = _spatial_conv(xin, w2, (sh, sw), padding)
     else:  # strided temporal conv (encoder downsample3d) — per-tap sum
         y = None
         for i in range(kt):

@@ -119,10 +119,15 @@ def test_fused_upsample_conv_int8_composes():
     assert np.max(err) < 0.25, np.max(err)
 
 
-def test_shifted_conv_variant_matches_conv(params, monkeypatch):
-    """RTV_VAE_CONV=shifted (9 shift+einsum matmuls, no conv engine) must be
-    numerically equivalent to the lax.conv formulation — both for the fresh
-    first chunk (T=1 tap-skip path) and a streaming chunk."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("variant", ["shifted", "threeconv"])
+def test_conv_variant_matches_conv(params, monkeypatch, variant):
+    """RTV_VAE_CONV formulations (shifted = 9 shift+einsum matmuls, no conv
+    engine; threeconv = per-tap convs, no tap-concat) must be numerically
+    equivalent to the wide-conv formulation — both for the fresh first chunk
+    (T=1 tap-skip path) and a streaming chunk."""
     import numpy as np
 
     z = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 8, 8, CFG.z_dim), jnp.float32)
@@ -131,7 +136,7 @@ def test_shifted_conv_variant_matches_conv(params, monkeypatch):
     video = jax.random.uniform(jax.random.PRNGKey(4), (1, 5, 32, 32, 3), jnp.float32)
     refz, _ = vae.encode_chunks(CFG, params, video)
 
-    monkeypatch.setattr(vae, "_CONV_VARIANT", "shifted")
+    monkeypatch.setattr(vae, "_CONV_VARIANT", variant)
     got0, gc = vae.decode_chunks(CFG, params, z[:, :1], None, first=True)
     got1, _ = vae.decode_chunks(CFG, params, z[:, 1:], gc, first=False)
     gotz, _ = vae.encode_chunks(CFG, params, video)
