@@ -108,6 +108,7 @@ def main() -> None:
         # would otherwise churn the (slow, sometimes sick) tunnel compile
         # service with dozens of tiny one-off programs
         cpu0 = jax.devices("cpu")[0]
+        prev_pallas = os.environ.get("RTV_DISABLE_PALLAS")
         os.environ["RTV_DISABLE_PALLAS"] = "1"
         try:
             with jax.default_device(cpu0):
@@ -121,7 +122,10 @@ def main() -> None:
                     # pass at all at serving time
                     act_scales = gen.calibrate_act_scales(steps)
         finally:
-            del os.environ["RTV_DISABLE_PALLAS"]
+            if prev_pallas is None:
+                del os.environ["RTV_DISABLE_PALLAS"]
+            else:
+                os.environ["RTV_DISABLE_PALLAS"] = prev_pallas
         gen.params = jax.device_put(
             wan_dit_mod.quantize_wan_linears(gen.params, act_scales=act_scales),
             dev,

@@ -97,7 +97,7 @@ class WanDiffusion:
         try:
             for i, t in enumerate(ts):
                 noisy = jax.random.normal(
-                    rngs[i], (1, nfpb, 16, lat_h, lat_w), jnp.bfloat16
+                    rngs[i], (1, nfpb, cfg.in_dim, lat_h, lat_w), jnp.bfloat16
                 )
                 tt = jnp.full((1, nfpb), float(t), jnp.float32)
                 _, _, kv = self.forward(

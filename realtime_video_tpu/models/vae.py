@@ -72,7 +72,9 @@ _ACT_CALIB: Optional[dict] = None
 
 
 def _record_calib(p: Params, x: jnp.ndarray) -> None:
-    if _ACT_CALIB is not None:
+    if _ACT_CALIB is not None and not isinstance(x, jax.core.Tracer):
+        # eager-only hook; the Tracer guard keeps concurrent jitted decodes
+        # from crashing on float() during a calibration pass
         amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
         _ACT_CALIB[id(p)] = max(_ACT_CALIB.get(id(p), 0.0), amax)
 

@@ -58,7 +58,10 @@ _IN_SCAN = False
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if _ACT_CALIB is not None and _IN_SCAN and "w" in p \
-            and hasattr(p["w"], "ndim") and p["w"].ndim == 2:
+            and hasattr(p["w"], "ndim") and p["w"].ndim == 2 \
+            and not isinstance(x, jax.core.Tracer):
+        # eager-only hook (calibrate_act_scales); the Tracer guard keeps a
+        # jitted forward issued during calibration from crashing on float()
         _ACT_CALIB.append(float(jnp.max(jnp.abs(x.astype(jnp.float32)))))
     if "w_q" in p:
         # int8 weights + per-tensor activation scale (the TPU analog of the

@@ -102,7 +102,10 @@ def ring_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, lq, n, d = q.shape
-    qf = q.astype(jnp.float32) * scale
+    # matmuls stay in the input dtype (bf16 MXU rate) with f32 accumulation —
+    # the flash-kernel pattern; softmax statistics stay f32. Scale folds into
+    # q (as ops/pallas_attention._prescale does).
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
     m = jnp.full((b, n, lq, 1), -jnp.inf, jnp.float32)
@@ -110,15 +113,17 @@ def ring_attention(
     acc = jnp.zeros((b, n, lq, d), jnp.float32)
     k_cur, v_cur = k, v
     for step in range(axis_size):
-        kf = k_cur.astype(jnp.float32)
-        vf = v_cur.astype(jnp.float32)
-        # [B, N, Lq, Lk_local]
-        s = jnp.einsum("blnd,bknd->bnlk", qf, kf)
+        # [B, N, Lq, Lk_local], f32 accumulation
+        s = jnp.einsum("blnd,bknd->bnlk", qs, k_cur,
+                       preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.einsum("bnlk,bknd->bnld", p, vf)
+        acc = acc * alpha + jnp.einsum(
+            "bnlk,bknd->bnld", p.astype(v_cur.dtype), v_cur,
+            preferred_element_type=jnp.float32,
+        )
         m = m_new
         if step != axis_size - 1:
             k_cur = jax.lax.ppermute(k_cur, axis_name, perm)

@@ -83,13 +83,11 @@ class BidirectionalDiffusionInferencePipeline:
 
         sp_attn = None
         if self.sp_mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sp_attn, mesh2 = self._sp_attention()
-            # frames (and so tokens, frame-major) sharded over all sp devices
-            noise = jax.device_put(
-                noise, NamedSharding(mesh2, P(None, ("sp_r", "sp_u")))
-            )
+            # no explicit input sharding: the frame count need not divide the
+            # device count (21 frames over 8 devices at the teacher shape) —
+            # the shard_map boundary inside sp_attn reshards the TOKEN axis
+            # (f * fsl, which is divisible) and GSPMD propagates outward.
+            sp_attn, _ = self._sp_attention()
         fwd = jax.jit(lambda p, cr, x, t: self._forward(p, cr, x, t, sp_attn))
 
         if self.sample_solver == "unipc":

@@ -33,45 +33,71 @@ class Models:
 
 def load_transformer(config) -> WanDiffusion:
     """Checkpoint autodetect + load (release_server.py:150-188)."""
+    import contextlib
+
+    import jax
+
     t0 = time.time()
     ckpt = config.get("checkpoint_path", "")
     shift = config.get("timestep_shift", 5.0)
-    if ckpt and os.path.exists(ckpt):
-        transformer = WanDiffusion(
-            checkpoint_path=ckpt, timestep_shift=shift, is_causal=True,
-            fuse_qkv=True,
-        )
-    else:
-        name = config.get("model_name", "t2v-1.3B")
-        log.warning("checkpoint %r missing — random-init %s", ckpt, name)
-        transformer = WanDiffusion(
-            cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True,
-            fuse_qkv=True,
-        )
-    if config.get("enable_int8_dit", config.get("enable_int8", False)):
-        # int8 block linears (the reference's enable_fp8 torchao quantize,
-        # release_server.py:179-182), with calibrated STATIC activation
-        # scales (torchao static-quant analog) unless disabled
+    int8_dit = bool(config.get("enable_int8_dit",
+                               config.get("enable_int8", False)))
+    # int8 build + calibration run HOST-side (the int8 path round-trips
+    # params through numpy anyway, and eager calibration forwards on the TPU
+    # would churn the remote compile service with tiny one-off programs —
+    # bench.py does the same)
+    ctx = jax.default_device(jax.devices("cpu")[0]) if int8_dit \
+        else contextlib.nullcontext()
+    prev_pallas = os.environ.get("RTV_DISABLE_PALLAS")
+    if int8_dit:
+        os.environ["RTV_DISABLE_PALLAS"] = "1"
+    try:
+        with ctx:
+            if ckpt and os.path.exists(ckpt):
+                transformer = WanDiffusion(
+                    checkpoint_path=ckpt, timestep_shift=shift, is_causal=True,
+                    fuse_qkv=True,
+                )
+            else:
+                name = config.get("model_name", "t2v-1.3B")
+                log.warning("checkpoint %r missing — random-init %s", ckpt, name)
+                transformer = WanDiffusion(
+                    cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True,
+                    fuse_qkv=True,
+                )
+            act_scales = None
+            if int8_dit and config.get("int8_static_scales", True):
+                # calibrated STATIC activation scales (torchao static-quant
+                # analog, release_server.py:179-182)
+                import numpy as np
+
+                from realtime_video_tpu.scheduler import (
+                    FlowMatchSchedule,
+                    get_denoising_schedule,
+                )
+
+                schedule = FlowMatchSchedule.create(
+                    shift=float(shift), sigma_min=0.0, extra_one_step=True
+                )
+                steps = tuple(float(t) for t in get_denoising_schedule(
+                    np.asarray(schedule.zero_padded_timesteps()), 1.0,
+                    int(config.get("num_denoising_steps", 5) or 5),
+                ))
+                act_scales = transformer.calibrate_act_scales(steps)
+    finally:
+        if int8_dit:
+            if prev_pallas is None:
+                del os.environ["RTV_DISABLE_PALLAS"]
+            else:
+                os.environ["RTV_DISABLE_PALLAS"] = prev_pallas
+    if int8_dit:
         from realtime_video_tpu.models import wan_dit
-        from realtime_video_tpu.scheduler import (
-            FlowMatchSchedule,
-            get_denoising_schedule,
-        )
 
-        act_scales = None
-        if config.get("int8_static_scales", True):
-            import numpy as np
-
-            schedule = FlowMatchSchedule.create(
-                shift=float(shift), sigma_min=0.0, extra_one_step=True
-            )
-            steps = tuple(float(t) for t in get_denoising_schedule(
-                np.asarray(schedule.zero_padded_timesteps()), 1.0,
-                int(config.get("num_denoising_steps", 5) or 5),
-            ))
-            act_scales = transformer.calibrate_act_scales(steps)
-        transformer.params = wan_dit.quantize_wan_linears(
-            transformer.params, act_scales=act_scales
+        transformer.params = jax.device_put(
+            wan_dit.quantize_wan_linears(
+                transformer.params, act_scales=act_scales
+            ),
+            jax.devices()[0],
         )
         log.info("DiT linears quantized to int8 (static scales: %s)",
                  act_scales is not None)
@@ -104,8 +130,9 @@ def load_vae(config) -> VAEWrapper:
     # TPU TensorCore serializes programs, so overlap needs its own chip)
     dev = None
     env_dev = os.getenv("RTV_VAE_DEVICE")
+    cfg_dev = config.get("vae_device_index")
     dev_idx = int(env_dev) if env_dev not in (None, "") \
-        else int(config.get("vae_device_index", -1))  # 0 is a valid index
+        else (int(cfg_dev) if cfg_dev is not None else -1)  # 0 is valid; null isn't
     if 0 <= dev_idx < len(jax.devices()):
         dev = jax.devices()[dev_idx]
         log.info("VAE pinned to %s (decode overlaps denoise)", dev)

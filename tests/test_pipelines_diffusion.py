@@ -115,3 +115,26 @@ def test_bidirectional_diffusion_usp_matches_single(gen):
         return_latents=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_bidirectional_diffusion_usp_21_frames(gen):
+    """The canonical teacher frame count (21) is NOT divisible by the 8-device
+    sp mesh — only the token axis is. The USP path must not require
+    frame-divisibility (reshard happens at the shard_map token boundary)."""
+    from jax.sharding import Mesh
+
+    config = load_server_config(guidance_scale=3.0, sampling_steps=1)
+    # lat 8x8 -> fsl=16 tokens/frame; 21 frames -> 336 tokens (divisible by 8)
+    noise = jax.random.normal(jax.random.PRNGKey(8), (1, 21, 16, 8, 8), jnp.float32)
+    ref_pipe = BidirectionalDiffusionInferencePipeline(config, gen)
+    _, ref = ref_pipe.inference(
+        noise, prompt_embeds=_embeds(), neg_prompt_embeds=_embeds(9),
+        return_latents=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    sp_pipe = BidirectionalDiffusionInferencePipeline(config, gen, sp_mesh=mesh)
+    _, got = sp_pipe.inference(
+        noise, prompt_embeds=_embeds(), neg_prompt_embeds=_embeds(9),
+        return_latents=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
