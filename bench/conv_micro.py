@@ -43,8 +43,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--shape", choices=list(SHAPES), default="96")
     p.add_argument("--variant", default="conv",
-                   choices=["conv", "shifted", "im2col", "phase", "int8",
-                            "int8shifted", "threeconv", "matmul", "conv1x1",
+                   choices=["conv", "shifted", "wcol", "hcol", "im2col",
+                            "phase", "int8", "int8shifted", "int8wcol",
+                            "threeconv", "matmul", "conv1x1",
                             "copy", "bigmm"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--check", action="store_true",
@@ -211,6 +212,56 @@ def main() -> None:
                     yy = jnp.einsum("thwc,co->thwo", v, kw_[di, dj])
                     y = yy if y is None else y + yy
             return y + b
+    elif args.variant == "wcol":
+        # W-only im2col: channel-concat the 3 W-shifts (3x traffic), then 3
+        # matmuls with K=3ci over H-shifts — the midpoint between "shifted"
+        # (9 matmuls, K=ci, 1x traffic) and "im2col" (1 matmul, K=9ci, 9x)
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            cols = jnp.concatenate(
+                [xin[:, :, dj : dj + W, :] for dj in range(3)], axis=-1)
+            y = None
+            for di in range(3):
+                yi = jnp.einsum("thwc,co->thwo", cols[:, di : di + H],
+                                kw_[di].reshape(3 * ci, C))
+                y = yi if y is None else y + yi
+            return y + b
+    elif args.variant == "hcol":
+        # H-only im2col: concat the 3 H-shifts (contiguous row slices, so the
+        # concat reads are unstrided), then 3 matmuls over W-shifts
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            cols = jnp.concatenate(
+                [xin[:, di : di + H, :, :] for di in range(3)], axis=-1)
+            wh = kw_.transpose(1, 0, 2, 3)  # [dj, di, ci, C]
+            y = None
+            for dj in range(3):
+                yi = jnp.einsum("thwc,co->thwo", cols[:, :, dj : dj + W],
+                                wh[dj].reshape(3 * ci, C))
+                y = yi if y is None else y + yi
+            return y + b
+    elif args.variant == "int8wcol":
+        # the int8 tier through the wcol formulation (RTV_VAE_CONV=wcol on
+        # the production int8 path): int8 concat is 1 byte/el
+        wq_ = jnp.clip(jnp.round(kw_.astype(jnp.float32) / 2e-4), -127, 127
+                       ).astype(jnp.int8)
+        scale = jnp.full((C,), 2e-4, jnp.float32)
+
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            amax = jnp.maximum(jnp.max(jnp.abs(xin.astype(jnp.float32))), 1e-6)
+            a_scale = amax / 127.0
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a_scale),
+                          -127, 127).astype(jnp.int8)
+            cols = jnp.concatenate(
+                [xq[:, :, dj : dj + W, :] for dj in range(3)], axis=-1)
+            y = None
+            for di in range(3):
+                yi = jnp.einsum("thwc,co->thwo", cols[:, di : di + H],
+                                wq_[di].reshape(3 * ci, C),
+                                preferred_element_type=jnp.int32)
+                y = yi if y is None else y + yi
+            return (y.astype(jnp.float32) * (a_scale * scale) + b).astype(x.dtype)
     elif args.variant == "im2col":
         wm = kw_.reshape(9 * ci, C)
 

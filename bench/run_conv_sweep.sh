@@ -15,7 +15,7 @@ if ! echo "$PROBE" | grep -q HEALTHY; then
 fi
 
 for shape in 96 192 384; do
-    for v in conv threeconv shifted im2col phase int8 int8shifted; do
+    for v in conv threeconv shifted wcol im2col phase int8 int8shifted int8wcol; do
         echo "== $shape $v ==" | tee -a "$LOG"
         python bench/conv_micro.py --shape "$shape" --variant "$v" 2>/dev/null \
             | tail -1 | tee -a "$LOG"

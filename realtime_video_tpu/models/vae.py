@@ -81,26 +81,54 @@ def _record_calib(p: Params, x: jnp.ndarray) -> None:
 
 #: spatial-conv formulation for the 3x3 stride-1 convs (bench/conv_micro.py
 #: sweep): "conv" = lax.conv (the conv engine; pays a relayout copy per conv
-#: when elementwise ops sit between convs — measured ~28% of decode), or
+#: when elementwise ops sit between convs — measured ~28% of decode),
 #: "shifted" = 9 shift+einsum matmuls that never enter the conv engine's
-#: [H, T, 8, W/8, C] layout. Equality-tested; default decided by on-chip A/B.
+#: [H, T, 8, W/8, C] layout, or "wcol" = W-only im2col (channel-concat the 3
+#: W-shifts, then 3 K=3Ci matmuls over H-shifts — 3x the shifted K for 3x
+#: input traffic, the midpoint between "shifted" and a full 9x im2col).
+#: Equality-tested; default decided by on-chip A/B. Accepts either one
+#: variant name for all convs, or a per-output-width map so a mixed sweep
+#: result is adoptable: "96:wcol,192:conv,default:conv" keys on Cout.
 _CONV_VARIANT = os.getenv("RTV_VAE_CONV", "conv")
+
+
+def _variant_for(co: int) -> str:
+    if ":" not in _CONV_VARIANT:
+        return _CONV_VARIANT
+    m = dict(kv.split(":", 1) for kv in _CONV_VARIANT.split(","))
+    return m.get(str(co), m.get("default", "conv"))
 
 
 def _spatial_conv(x, w, stride=(1, 1), padding="VALID", preferred=None):
     """One 2D conv, formulation-switchable. x [N,H,W,Ci], w [kh,kw,Ci,Co]."""
     kh, kw = w.shape[:2]
-    if _CONV_VARIANT == "shifted" and kh == 3 and kw == 3 and stride == (1, 1):
+    variant = _variant_for(w.shape[3])
+    if variant in ("shifted", "wcol") and kh == 3 and kw == 3 \
+            and stride == (1, 1):
         if padding != "VALID":
             (ph0, ph1), (pw0, pw1) = padding
             if ph0 or ph1 or pw0 or pw1:
                 x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
         ho, wo = x.shape[1] - 2, x.shape[2] - 2
+        kwargs = {} if preferred is None else {
+            "preferred_element_type": preferred}
+        if variant == "wcol":
+            ci, co = w.shape[2], w.shape[3]
+            # [N, H+2, Wo, 3Ci], dj-major channels — matches w[di] reshaped
+            cols = jnp.concatenate(
+                [x[:, :, dj : dj + wo, :] for dj in range(3)], axis=-1
+            )
+            y = None
+            for di in range(3):
+                yi = jnp.einsum(
+                    "thwc,co->thwo", cols[:, di : di + ho],
+                    w[di].reshape(3 * ci, co), **kwargs,
+                )
+                y = yi if y is None else y + yi
+            return y
         y = None
         for di in range(3):
             for dj in range(3):
-                kwargs = {} if preferred is None else {
-                    "preferred_element_type": preferred}
                 yi = jnp.einsum(
                     "thwc,co->thwo", x[:, di : di + ho, dj : dj + wo, :],
                     w[di, dj], **kwargs,
@@ -144,7 +172,7 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     if kt == 1:
         y = _spatial_conv(x[::st], w[0], (sh, sw), padding)
     elif st == 1:
-        if _CONV_VARIANT == "threeconv":
+        if _variant_for(w.shape[-1]) == "threeconv":
             # no tap-concat materialisation: one 2D conv per temporal tap,
             # summed (trades the kt*C-wide concat's write+read for kt
             # narrower convs — sweep arm, bench/conv_micro.py)

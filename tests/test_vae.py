@@ -122,7 +122,7 @@ def test_fused_upsample_conv_int8_composes():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("variant", ["shifted", "threeconv"])
+@_pytest.mark.parametrize("variant", ["shifted", "wcol", "threeconv"])
 def test_conv_variant_matches_conv(params, monkeypatch, variant):
     """RTV_VAE_CONV formulations (shifted = 9 shift+einsum matmuls, no conv
     engine; threeconv = per-tap convs, no tap-concat) must be numerically
@@ -146,14 +146,27 @@ def test_conv_variant_matches_conv(params, monkeypatch, variant):
     np.testing.assert_allclose(np.asarray(gotz), np.asarray(refz), rtol=2e-4, atol=2e-4)
 
 
-def test_shifted_conv_variant_matches_conv_int8(params, monkeypatch):
-    """The int8 tier under the shifted formulation: identical quantised math
+def test_conv_variant_per_width_map(params, monkeypatch):
+    """RTV_VAE_CONV accepts a Cout-keyed map ("8:wcol,default:shifted") so a
+    mixed sweep winner is adoptable per decoder stage."""
+    import numpy as np
+
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, 1, 8, 8, CFG.z_dim), jnp.float32)
+    ref, _ = vae.decode_chunks(CFG, params, z, None, first=True)
+    monkeypatch.setattr(vae, "_CONV_VARIANT", "8:wcol,16:threeconv,default:shifted")
+    got, _ = vae.decode_chunks(CFG, params, z, None, first=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@_pytest.mark.parametrize("variant", ["shifted", "wcol"])
+def test_shifted_conv_variant_matches_conv_int8(params, monkeypatch, variant):
+    """The int8 tier under the matmul formulations: identical quantised math
     (same a_scale decisions), so outputs must match the int8 conv path."""
     import numpy as np
 
     qp = vae.quantize_vae_params(params)
     z = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 8, 8, CFG.z_dim), jnp.float32)
     ref, _ = vae.decode_chunks(CFG, qp, z, None, first=True)
-    monkeypatch.setattr(vae, "_CONV_VARIANT", "shifted")
+    monkeypatch.setattr(vae, "_CONV_VARIANT", variant)
     got, _ = vae.decode_chunks(CFG, qp, z, None, first=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
