@@ -76,6 +76,37 @@ def main() -> None:
                   file=sys.stderr)
             _t.sleep(60)
 
+        if os.getenv("RTV_BENCH_COMPILE_PROBE", "1") in ("1", "true"):
+            # COMPILE-poisoning probe: the remote service intermittently emits
+            # degraded executables (fresh 2k matmul at 42 TFLOP/s while cached
+            # programs run full speed — CLAUDE.md sickness modes). A salted
+            # (never-cached) compile measures today's compile quality; when
+            # poisoned, prefer formulations whose programs are already in the
+            # persistent cache over "optimised" ones that would compile sick
+            # (measured: a sick-compiled re-encode took the bench 8.2 -> 4.1).
+            salt = 1.0 + (_t.time() % 1000.0) * 1e-9
+
+            @jax.jit
+            def _mm_fresh(a, iters):
+                return jax.lax.fori_loop(
+                    0, iters,
+                    lambda _, ac: (ac @ w0 * salt).astype(ac.dtype), a,
+                )
+
+            af = _mm_fresh(a0, 100)
+            jax.device_get(af[0, :2])
+            t0 = _t.perf_counter()
+            outf = _mm_fresh(af, 100)
+            jax.device_get(outf[0, :2])
+            tf_fresh = 2 * 4096**3 * 100 / (_t.perf_counter() - t0) / 1e12
+            print(f"health: fresh-compile {tf_fresh:.0f} TFLOP/s "
+                  f"(cached {tf:.0f})", file=sys.stderr)
+            if tf_fresh < 0.7 * tf and "RTV_VAE_T1_TAPSKIP" not in os.environ:
+                vae_mod._T1_TAPSKIP = False
+                print("health: compile service POISONED — disabling T=1 "
+                      "tap-skip so re-encode/first-decode reuse the cached "
+                      "programs", file=sys.stderr)
+
     if tiny:
         cfg = WanModelConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2)
         lat_h, lat_w = 8, 8

@@ -91,6 +91,14 @@ def _record_calib(p: Params, x: jnp.ndarray) -> None:
 #: result is adoptable: "96:wcol,192:conv,default:conv" keys on Cout.
 _CONV_VARIANT = os.getenv("RTV_VAE_CONV", "conv")
 
+#: skip the zero-padded temporal taps for fresh T=1 chunks (the anti-drift
+#: re-encode + first decode): 1/kt the conv FLOPs, exact math. Gated because
+#: it CHANGES those traced programs — while the remote compile service emits
+#: poisoned executables (CLAUDE.md sickness mode), the old cached programs
+#: are faster than freshly compiled "optimised" ones (measured 8.2 -> 4.1 fps
+#: when the re-encode recompiled sick); flip off to reuse the old cache.
+_T1_TAPSKIP = os.getenv("RTV_VAE_T1_TAPSKIP", "1") in ("1", "true")
+
 
 def _variant_for(co: int) -> str:
     if ":" not in _CONV_VARIANT:
@@ -246,7 +254,7 @@ def causal_conv3d(
         kt, kh, kw = p["w"].shape[:3]
     pad_t, pad_h, pad_w = 2 * (kt // 2), kh // 2, kw // 2
     if pad_t > 0:
-        if cache is None and x.shape[0] == 1:
+        if cache is None and x.shape[0] == 1 and _T1_TAPSKIP:
             # fresh single-frame chunk — THE anti-drift re-encode
             # (release_server.py:573-575) and the first decode chunk. The
             # zero-padded temporal taps contribute exactly nothing, so run
