@@ -36,6 +36,14 @@ SHAPES = {
     "96": (96, 480, 832, 4),
     "192": (192, 240, 416, 4),
     "384": (384, 120, 208, 2),
+    # encoder shapes for the T=1 anti-drift re-encode (release_server.py:573-
+    # 575 analog): fresh single-frame chunks skip the zero-padded temporal
+    # taps (models/vae.py causal_conv3d), so Cin = C and the conv is plain 2D.
+    # The re-encode measures ~175 ms vs a 14 ms roofline — per-conv overhead
+    # at T=1 — so the winning formulation here feeds the per-Cout variant map.
+    "enc96": (96, 480, 832, 1),
+    "enc192": (192, 240, 416, 1),
+    "enc384": (384, 120, 208, 1),
 }
 
 
@@ -61,19 +69,28 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtv_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    enc_t1 = args.shape.startswith("enc")
     C, H, W, T = SHAPES[args.shape]
     if args.check:
-        C, H, W, T = 8, 12, 16, 2
-    ci = 3 * C  # temporal taps pre-concatenated, as in conv3d
+        C, H, W, T = 8, 12, 16, (1 if enc_t1 else 2)
+    if enc_t1:
+        # T=1 tap-skip path: single temporal tap, Cin = C, taps is identity
+        ci = C
+
+        def taps(x):
+            return x
+    else:
+        ci = 3 * C  # temporal taps pre-concatenated, as in conv3d
+
+        def taps(x):
+            # causal pad 2 + 3 shifted views channel-concat (the conv3d
+            # path); part of every variant's real cost
+            xp = jnp.pad(x, ((2, 0), (0, 0), (0, 0), (0, 0)))
+            return jnp.concatenate([xp[i : i + T] for i in range(3)], axis=-1)
+
     kw_ = jax.random.normal(jax.random.PRNGKey(0), (3, 3, ci, C), jnp.bfloat16) * 0.02
     b = jnp.zeros((C,), jnp.bfloat16)
     x0 = jax.random.normal(jax.random.PRNGKey(1), (T, H, W, C), jnp.bfloat16)
-
-    def taps(x):
-        # causal pad 2 + 3 shifted views channel-concat (the conv3d path);
-        # part of every variant's real cost
-        xp = jnp.pad(x, ((2, 0), (0, 0), (0, 0), (0, 0)))
-        return jnp.concatenate([xp[i : i + T] for i in range(3)], axis=-1)
 
     if args.variant == "conv":
         def conv(x):
@@ -189,6 +206,9 @@ def main() -> None:
                     y = yi if y is None else y + yi
             return y + b
     elif args.variant == "threeconv":
+        if enc_t1:
+            raise SystemExit("threeconv needs the 3-tap kernel; "
+                             "enc* shapes are single-tap (T=1)")
         # no tap-concat materialisation: one 2D conv per temporal tap, summed.
         # Trades the 3C-wide concat's write+read (~1.8 GB at 96ch) for 3
         # narrower convs XLA may or may not chain efficiently.

@@ -21,4 +21,14 @@ for shape in 96 192 384; do
             | tail -1 | tee -a "$LOG"
     done
 done
+
+# encoder T=1 arms (the anti-drift re-encode shapes) — after the decoder
+# arms so the primary question answers first if the window closes
+for shape in enc96 enc192 enc384; do
+    for v in conv shifted wcol int8 int8shifted int8wcol; do
+        echo "== $shape $v ==" | tee -a "$LOG"
+        python bench/conv_micro.py --shape "$shape" --variant "$v" 2>/dev/null \
+            | tail -1 | tee -a "$LOG"
+    done
+done
 echo "sweep done: $LOG"
