@@ -34,7 +34,11 @@ while true; do
     sleep "$POLL_S"
 done
 
-echo "== purge poisoned cache entries (newer than 2026-08-16 23:40) =="
+echo "== backup cache, then purge entries newer than 2026-08-16 23:40 =="
+# hardlink clone: if the service relapses mid-recompile we'd otherwise hold
+# poisoned executables AND have deleted the old (working, 8.2 fps) programs
+rm -rf ~/.rtv_jax_cache.bak
+cp -al ~/.rtv_jax_cache ~/.rtv_jax_cache.bak 2>/dev/null
 find ~/.rtv_jax_cache -newermt "2026-08-16 23:40" -type f -delete 2>/dev/null
 echo "remaining cache entries: $(find ~/.rtv_jax_cache -type f | wc -l)"
 
@@ -42,6 +46,22 @@ echo "== bench.py full recompile (healthy executables) =="
 RTV_BENCH_HEALTH_WAIT_S=120 timeout 7200 python bench.py \
     > /tmp/bench_healthy.json 2> /tmp/bench_healthy.log
 echo "bench: $(cat /tmp/bench_healthy.json)"
+FPS=$(python - <<'EOF'
+import json
+try:
+    print(json.load(open("/tmp/bench_healthy.json"))["value"])
+except Exception:
+    print(0)
+EOF
+)
+if python -c "import sys; sys.exit(0 if float('$FPS' or 0) < 7.5 else 1)"; then
+    echo "bench fps $FPS < 7.5 — service relapsed mid-recompile; RESTORING old cache"
+    rm -rf ~/.rtv_jax_cache
+    mv ~/.rtv_jax_cache.bak ~/.rtv_jax_cache
+else
+    echo "bench fps $FPS — keeping recompiled cache"
+    rm -rf ~/.rtv_jax_cache.bak
+fi
 
 echo "== conv-formulation sweep =="
 timeout 10800 bash bench/run_conv_sweep.sh /tmp/conv_sweep.log
