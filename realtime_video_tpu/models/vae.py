@@ -166,10 +166,22 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
         st = stride[0]
         assert st == 1 or kt == 1
         t_out = x.shape[0] - kt + 1
+        xq = None
         if kt > 1:
-            taps = [x[i : i + t_out] for i in range(kt)]
-            x = jnp.concatenate(taps, axis=-1)
+            # quantise BEFORE the tap-concat: per-tensor quantisation is
+            # pointwise and every input frame appears in at least one tap, so
+            # amax(taps(x)) == amax(x) and quantise∘concat == concat∘quantise
+            # bit-for-bit. The concat then moves s8 (1 B/el, not bf16's 2),
+            # and with a calibrated static a_scale the quantise fuses into
+            # the producing norm/silu chain instead of re-reading the 3C-wide
+            # concat (traces: ~2.2 ms standalone quantise per 96-ch conv).
+            xq, a_scale = _quantize_act(p, x)
+            taps = [xq[i : i + t_out] for i in range(kt)]
+            xq = jnp.concatenate(taps, axis=-1)
         wq = p["w_q"].transpose(1, 2, 0, 3, 4).reshape(kh, kw, -1, p["w_q"].shape[-1])
+        if xq is not None:
+            return _int8_conv2d(dict(p, w_q=wq), x, stride[1:], padding,
+                                xq=xq, a_scale=a_scale)
         return _int8_conv2d(dict(p, w_q=wq), x, stride[1:], padding)
     _record_calib(p, x)
     w = p["w"].astype(x.dtype)  # [kt, kh, kw, ci, co]
@@ -206,7 +218,21 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     return y + p["b"].astype(x.dtype)
 
 
-def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> jnp.ndarray:
+def _quantize_act(p: Params, x: jnp.ndarray):
+    """Per-tensor int8 activation quantisation: calibrated static scale when
+    p carries "a_scale" (the TRT calibration analog), dynamic amax otherwise.
+    Returns (xq int8, a_scale f32)."""
+    if "a_scale" in p:
+        a_scale = p["a_scale"].astype(jnp.float32)
+    else:
+        amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
+        a_scale = amax / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127).astype(jnp.int8)
+    return xq, a_scale
+
+
+def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID",
+                 xq=None, a_scale=None) -> jnp.ndarray:
     """int8 conv (the TPU analog of the reference's TensorRT int8 VAE engine,
     demo_utils/vae_torch2trt.py): per-tensor activation scale,
     per-output-channel weight scales, int32 accumulation.
@@ -214,13 +240,10 @@ def _int8_conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding="VALID") -> j
 
     Activation scale: CALIBRATED static when p carries "a_scale" (the TRT
     calibration analog — the quantise then fuses into the producing op with
-    no extra amax read of the input), dynamic per-tensor otherwise."""
-    if "a_scale" in p:
-        a_scale = p["a_scale"].astype(jnp.float32)
-    else:
-        amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
-        a_scale = amax / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127).astype(jnp.int8)
+    no extra amax read of the input), dynamic per-tensor otherwise. Callers
+    that already quantised (conv3d pre-tap-concat) pass xq/a_scale."""
+    if xq is None:
+        xq, a_scale = _quantize_act(p, x)
     yq = _spatial_conv(xq, p["w_q"], stride, padding, preferred=jnp.int32)
     y = yq.astype(jnp.float32) * (a_scale * p["scale"].astype(jnp.float32))
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
