@@ -100,17 +100,24 @@ _CONV_VARIANT = os.getenv("RTV_VAE_CONV", "conv")
 _T1_TAPSKIP = os.getenv("RTV_VAE_T1_TAPSKIP", "1") in ("1", "true")
 
 
-def _variant_for(co: int) -> str:
+def _variant_for(co: int, ci: Optional[int] = None) -> str:
+    """Formulation for a conv with output channels co (and, when known,
+    effective input channels ci — post tap-merge). Map keys, most specific
+    first: "CIxCO" (e.g. "96x96", distinguishes the T=1 tap-skip re-encode
+    convs from the 3C-tapped decoder convs at the same Cout), then "CO",
+    then "default"."""
     if ":" not in _CONV_VARIANT:
         return _CONV_VARIANT
     m = dict(kv.split(":", 1) for kv in _CONV_VARIANT.split(","))
+    if ci is not None and f"{ci}x{co}" in m:
+        return m[f"{ci}x{co}"]
     return m.get(str(co), m.get("default", "conv"))
 
 
 def _spatial_conv(x, w, stride=(1, 1), padding="VALID", preferred=None):
     """One 2D conv, formulation-switchable. x [N,H,W,Ci], w [kh,kw,Ci,Co]."""
     kh, kw = w.shape[:2]
-    variant = _variant_for(w.shape[3])
+    variant = _variant_for(w.shape[3], w.shape[2])
     if variant in ("shifted", "wcol") and kh == 3 and kw == 3 \
             and stride == (1, 1):
         if padding != "VALID":
@@ -192,7 +199,7 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
     if kt == 1:
         y = _spatial_conv(x[::st], w[0], (sh, sw), padding)
     elif st == 1:
-        if _variant_for(w.shape[-1]) == "threeconv":
+        if _variant_for(w.shape[-1], kt * w.shape[3]) == "threeconv":
             # no tap-concat materialisation: one 2D conv per temporal tap,
             # summed (trades the kt*C-wide concat's write+read for kt
             # narrower convs — sweep arm, bench/conv_micro.py)

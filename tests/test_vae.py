@@ -148,7 +148,9 @@ def test_conv_variant_matches_conv(params, monkeypatch, variant):
 
 def test_conv_variant_per_width_map(params, monkeypatch):
     """RTV_VAE_CONV accepts a Cout-keyed map ("8:wcol,default:shifted") so a
-    mixed sweep winner is adoptable per decoder stage."""
+    mixed sweep winner is adoptable per decoder stage. "CIxCO" keys bind
+    tighter than "CO" — they separate the T=1 tap-skip convs (Cin=C) from the
+    3C-tapped streaming convs at the same Cout (the enc* sweep arms)."""
     import numpy as np
 
     z = jax.random.normal(jax.random.PRNGKey(6), (1, 1, 8, 8, CFG.z_dim), jnp.float32)
@@ -156,6 +158,19 @@ def test_conv_variant_per_width_map(params, monkeypatch):
     monkeypatch.setattr(vae, "_CONV_VARIANT", "8:wcol,16:threeconv,default:shifted")
     got, _ = vae.decode_chunks(CFG, params, z, None, first=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    # CIxCO keys: T=1 first chunk runs the tap-skip path (Cin=8 at Cout=8),
+    # streaming chunks run tapped (Cin=24 at Cout=8) — different variants
+    monkeypatch.setattr(
+        vae, "_CONV_VARIANT", "8x8:shifted,24x8:wcol,16:threeconv,default:conv")
+    z2 = jax.random.normal(jax.random.PRNGKey(7), (1, 2, 8, 8, CFG.z_dim), jnp.float32)
+    ref0, rc = vae.decode_chunks(CFG, params, z2[:, :1], None, first=True)
+    ref1, _ = vae.decode_chunks(CFG, params, z2[:, 1:], rc, first=False)
+    monkeypatch.setattr(vae, "_CONV_VARIANT", "conv")
+    want0, wc = vae.decode_chunks(CFG, params, z2[:, :1], None, first=True)
+    want1, _ = vae.decode_chunks(CFG, params, z2[:, 1:], wc, first=False)
+    np.testing.assert_allclose(np.asarray(ref0), np.asarray(want0), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ref1), np.asarray(want1), rtol=2e-4, atol=2e-4)
 
 
 @_pytest.mark.parametrize("variant", ["shifted", "wcol"])
