@@ -67,6 +67,15 @@ SKEW = _os.getenv("RTV_ATTN_SKEW", "0") in ("1", "true")
 # A/B (the plain skew measured 3.59 ms/layer vs 2.35 staticmax).
 SKEW2 = _os.getenv("RTV_ATTN_SKEW2", "0") in ("1", "true")
 BK2 = int(_os.getenv("RTV_ATTN_SKEW2_BK", "512"))  # skew2 KV tile (spill size)
+# pad-free KV sweep: run the KV grid as ceil(Lk/tile) over the UNPADDED
+# window instead of jnp.pad-ing K/V to a tile multiple (the pads copy the
+# full 28.7 MB window twice per layer per step — ~0.13 ms/layer in traces).
+# The tail tile's out-of-bounds columns are discarded by select-masking (not
+# additive bias, so garbage/NaN loads cannot leak through exp2) and the tail
+# V rows are zeroed so 0-probability columns cannot poison the PV matmul.
+# Opt-in until measured healthy on chip (the remote compiler has rejected
+# exotic kernels before — CLAUDE.md).
+NOPAD = _os.getenv("RTV_ATTN_NOPAD", "0") in ("1", "true")
 # static-max softmax: qk-normed logits are bounded, so a per-call upper bound
 # M (from the MEASURED max row norms of q and k) replaces the running max —
 # no rowmax pass, no alpha corrections, no serial m-chain across KV tiles.
@@ -102,6 +111,7 @@ def _flash_kernel(
     bkm: int,
     bk: int,
     int8_qk: bool,
+    lk_arr: int,  # K/V array length; the ceil grid may overshoot it (NOPAD)
 ):
     ki = pl.program_id(3)
     qi = pl.program_id(2)
@@ -164,10 +174,17 @@ def _flash_kernel(
                 )  # [bq, bk], already in log2 units
 
             col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+            nk_static = (lk_arr + bkm - 1) // bkm
+            if (nk_static - 1) * bkm + (si + 1) * bk > lk_arr:
+                # statically-tail sub-tile (NOPAD ceil grid): zero undefined
+                # V rows so 0-probability columns cannot poison the PV matmul
+                colv = kv_base + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+                v = jnp.where((ki != nk_static - 1) | (colv < lk_arr), v, 0)
             if mode == "window":
-                # column-only validity -> additive bias broadcast over rows
-                bias = jnp.where((col >= lo) & (col < hi), 0.0, NEG_INF)
-                s = s + bias
+                # column-only validity; select (not additive bias) so an
+                # undefined tail load cannot leak NaN/Inf through the max
+                valid = (col >= lo) & (col < hi)
+                s = jnp.where(valid, s, NEG_INF)
             else:
                 q_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
                 # kv_len clamps only the UPPER bound; the local-window start
@@ -211,9 +228,11 @@ def _staticmax_kernel(
     bq: int,
     bkm: int,
     bk: int,
+    lk_arr: int,  # K/V array length; the ceil grid may overshoot it (NOPAD)
 ):
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
+    nk_static = (lk_arr + bkm - 1) // bkm
     lo = bounds_ref[0]
     hi = bounds_ref[1]
     M = m_ref[0]
@@ -238,8 +257,15 @@ def _staticmax_kernel(
                 preferred_element_type=jnp.float32,
             )
             col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-            bias = jnp.where((col >= lo) & (col < hi), -M, NEG_INF)
-            p = jnp.exp2(s + bias)  # p <= 1 by construction of M
+            # select (not additive bias): out-of-bounds tail loads are
+            # undefined and a NaN/Inf score must not survive the masking
+            p = jnp.where((col >= lo) & (col < hi),
+                          jnp.exp2(s - M), 0.0)  # p <= 1 by construction of M
+            if (nk_static - 1) * bkm + (si + 1) * bk > lk_arr:
+                # statically-tail sub-tile: zero the undefined V rows so the
+                # 0-probability columns cannot poison the PV matmul with NaN
+                colv = kv_base + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+                v = jnp.where((ki != nk_static - 1) | (colv < lk_arr), v, 0)
             l_scr[...] = l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
             acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -264,8 +290,9 @@ def _staticmax_call(
 ) -> jnp.ndarray:
     b, n, lq, d = q.shape
     lk = k.shape[2]
-    grid = (b, n, lq // bq, lk // bkm)
-    kernel = functools.partial(_staticmax_kernel, bq=bq, bkm=bkm, bk=bk)
+    grid = (b, n, lq // bq, (lk + bkm - 1) // bkm)
+    kernel = functools.partial(_staticmax_kernel, bq=bq, bkm=bkm, bk=bk,
+                               lk_arr=lk)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -526,10 +553,11 @@ def _flash_call(
 ) -> jnp.ndarray:
     b, n, lq, d = q.shape
     lk = k.shape[2]
-    grid = (b, n, lq // bq, lk // bkm)
+    grid = (b, n, lq // bq, (lk + bkm - 1) // bkm)
     kernel = functools.partial(
         _flash_kernel, mode=mode, kv_len=kv_len, block_tokens=block_tokens,
         local_window=local_window, bq=bq, bkm=bkm, bk=bk, int8_qk=INT8_QK,
+        lk_arr=lk,
     )
     return pl.pallas_call(
         kernel,
@@ -627,8 +655,14 @@ def decode_attention(
         return out[:, :, :Lq].transpose(0, 2, 1, 3)
     if STATIC_MAX and not INT8_QK:
         qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
-        kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
-        vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
+        if NOPAD:
+            # ceil KV grid + in-kernel tail masking instead of padding the
+            # 28.7 MB window twice per call (~0.13 ms/layer of pad copies)
+            kp = k.transpose(0, 2, 1, 3)
+            vp = v.transpose(0, 2, 1, 3)
+        else:
+            kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
+            vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
         m_bound = _logit_bound(qp, k)
         # the no-running-max kernel is only safe when exp2(s - M) cannot
         # underflow a whole row (qk-normed inputs keep M ~ 2). A caller with
@@ -645,8 +679,12 @@ def decode_attention(
         )
         return out[:, :, :Lq].transpose(0, 2, 1, 3)
     qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
-    kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
-    vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
+    if NOPAD and not INT8_QK:
+        kp = k.transpose(0, 2, 1, 3)
+        vp = v.transpose(0, 2, 1, 3)
+    else:
+        kp = _pad_seq(k.transpose(0, 2, 1, 3), bkm)
+        vp = _pad_seq(v.transpose(0, 2, 1, 3), bkm)
     out = _flash_call(qp, kp, vp, bounds, "window", Lk, bq=bq, bkm=bkm, bk=bk)
     return out[:, :, :Lq].transpose(0, 2, 1, 3)
 

@@ -107,6 +107,32 @@ def test_staticmax_matches_xla(monkeypatch, lo, hi):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("staticmax", [True, False])
+@pytest.mark.parametrize("lq,lk,lo,hi", [
+    (200, 936, 0, 936),     # one partial KV tile
+    (200, 2400, 0, 2400),   # ceil grid: 2 tiles over 2400, both sub-tiles tail
+    (312, 2400, 100, 2000), # window strictly inside the unpadded buffer
+])
+def test_nopad_kv_matches_padded(monkeypatch, staticmax, lq, lk, lo, hi):
+    """RTV_ATTN_NOPAD: the ceil-grid KV sweep over an UNPADDED window (tail
+    tile select-masked, tail V rows zeroed) must equal the padded path for
+    both the static-max and running-max kernels."""
+    monkeypatch.setattr(pat, "STATIC_MAX", staticmax)
+    b, n, d = 1, 2, 128
+    q, k, v = _rand((b, lq, n, d), 20), _rand((b, lk, n, d), 21), _rand((b, lk, n, d), 22)
+    lo_t, hi_t = jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setattr(pat, "NOPAD", False)
+        want = pat.decode_attention(q, k, v, lo_t, hi_t)
+        monkeypatch.setattr(pat, "NOPAD", True)
+        got = pat.decode_attention(q, k, v, lo_t, hi_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lk), 1)
+    mask = ((kv_pos >= lo) & (kv_pos < hi))[None, None]
+    oracle = attn_ops.xla_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=2e-3, atol=2e-3)
+
+
 def test_int8_qk_tier_close_to_bf16(monkeypatch):
     """SageAttention-analog int8 QK^T (RTV_ATTN_INT8) stays within quantized
     tolerance of the fp path on decode-window shapes."""
