@@ -23,6 +23,5 @@ run() {
 run RTV_DUMMY=0                       # baseline staticmax
 run RTV_ATTN_NOPAD=1
 run RTV_ATTN_SKEW2=1
-# note: SKEW2 path still pads (NOPAD only wires into staticmax/flash);
-# integrate NOPAD into the skew kernel only if both win individually
+run RTV_ATTN_SKEW2=1 RTV_ATTN_NOPAD=1 # combined (NOPAD wired into skew2)
 echo "attn_ab2 done: $LOG"

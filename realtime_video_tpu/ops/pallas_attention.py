@@ -332,6 +332,7 @@ def _staticmax_skew_kernel(
     bq: int,
     bk: int,
     nk: int,  # real KV tiles; the grid runs nk+1 steps
+    lk_arr: int,  # K/V array length; the ceil grid may overshoot it (NOPAD)
 ):
     ki = pl.program_id(3)
     lo = bounds_ref[0]
@@ -353,8 +354,10 @@ def _staticmax_skew_kernel(
         preferred_element_type=jnp.float32,
     )
     col = kv_base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-    bias = jnp.where((col >= lo) & (col < hi), -M, NEG_INF)
-    s_scr[ki % 2] = s + bias
+    # select (not additive bias): with an unpadded tail tile (NOPAD ceil
+    # grid) the out-of-bounds K rows are undefined and a NaN score must not
+    # survive the masking (hi <= lk_arr, so col < hi covers the overshoot)
+    s_scr[ki % 2] = jnp.where((col >= lo) & (col < hi), s - M, NEG_INF)
 
     # phase B (VPU + MXU): tile ki-1's contribution — NO running max, no
     # alpha corrections, no cross-tile data dependency beyond the spill:
@@ -363,6 +366,13 @@ def _staticmax_skew_kernel(
     def _process():
         p = jnp.exp2(s_scr[(ki + 1) % 2])  # <= 1 by construction of M
         v = v_ref[0, 0, :, :]
+        if nk * bk > lk_arr:
+            # unpadded tail tile (NOPAD): zero the undefined V rows so the
+            # 0-probability columns cannot poison the PV matmul with NaN
+            colv = (ki - 1) * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (bk, 1), 0
+            )
+            v = jnp.where((ki - 1 != nk - 1) | (colv < lk_arr), v, 0)
         l_scr[...] = l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -386,9 +396,10 @@ def _staticmax_skew_call(
 ) -> jnp.ndarray:
     b, n, lq, d = q.shape
     lk = k.shape[2]
-    nk = lk // bk
+    nk = (lk + bk - 1) // bk
     grid = (b, n, lq // bq, nk + 1)
-    kernel = functools.partial(_staticmax_skew_kernel, bq=bq, bk=bk, nk=nk)
+    kernel = functools.partial(_staticmax_skew_kernel, bq=bq, bk=bk, nk=nk,
+                               lk_arr=lk)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -633,8 +644,13 @@ def decode_attention(
     if SKEW2 and not INT8_QK:
         bk2 = min(BK2, _round_up(Lk, 128))
         qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
-        kp = _pad_seq(k.transpose(0, 2, 1, 3), bk2)
-        vp = _pad_seq(v.transpose(0, 2, 1, 3), bk2)
+        if NOPAD:
+            # ceil KV grid + in-kernel tail masking (see the staticmax path)
+            kp = k.transpose(0, 2, 1, 3)
+            vp = v.transpose(0, 2, 1, 3)
+        else:
+            kp = _pad_seq(k.transpose(0, 2, 1, 3), bk2)
+            vp = _pad_seq(v.transpose(0, 2, 1, 3), bk2)
         m_bound = _logit_bound(qp, k)
         out = jax.lax.cond(
             m_bound[0] < 64.0,  # same underflow guard as the staticmax path

@@ -107,17 +107,18 @@ def test_staticmax_matches_xla(monkeypatch, lo, hi):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("staticmax", [True, False])
+@pytest.mark.parametrize("variant", ["staticmax", "flash", "skew2"])
 @pytest.mark.parametrize("lq,lk,lo,hi", [
     (200, 936, 0, 936),     # one partial KV tile
     (200, 2400, 0, 2400),   # ceil grid: 2 tiles over 2400, both sub-tiles tail
     (312, 2400, 100, 2000), # window strictly inside the unpadded buffer
 ])
-def test_nopad_kv_matches_padded(monkeypatch, staticmax, lq, lk, lo, hi):
+def test_nopad_kv_matches_padded(monkeypatch, variant, lq, lk, lo, hi):
     """RTV_ATTN_NOPAD: the ceil-grid KV sweep over an UNPADDED window (tail
     tile select-masked, tail V rows zeroed) must equal the padded path for
-    both the static-max and running-max kernels."""
-    monkeypatch.setattr(pat, "STATIC_MAX", staticmax)
+    the static-max, running-max, and skew2 kernels."""
+    monkeypatch.setattr(pat, "STATIC_MAX", variant == "staticmax")
+    monkeypatch.setattr(pat, "SKEW2", variant == "skew2")
     b, n, d = 1, 2, 128
     q, k, v = _rand((b, lq, n, d), 20), _rand((b, lk, n, d), 21), _rand((b, lk, n, d), 22)
     lo_t, hi_t = jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32)
