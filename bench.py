@@ -47,7 +47,10 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     tiny = os.getenv("RTV_BENCH_TINY", "0") in ("1", "true") or not on_tpu
 
-    if on_tpu and os.getenv("RTV_BENCH_HEALTHCHECK", "1") in ("1", "true"):
+    if on_tpu and (
+        os.getenv("RTV_BENCH_HEALTHCHECK", "1") in ("1", "true")
+        or os.getenv("RTV_BENCH_COMPILE_PROBE", "1") in ("1", "true")
+    ):
         # the remote tunnel intermittently degrades ~20-50x (measured: 4k
         # matmul at 11 TFLOP/s vs the 190 calibration). Probe with a cached
         # chained matmul and wait out degradation so the recorded number
@@ -63,7 +66,14 @@ def main() -> None:
         a0 = jax.random.normal(jax.random.PRNGKey(12), (4096, 4096), jnp.bfloat16)
         aw = _mm_chain(a0, 100)
         jax.device_get(aw[0, :2])  # compile+warm; different arg than timed
-        deadline = _t.time() + float(os.getenv("RTV_BENCH_HEALTH_WAIT_S", "600"))
+        # with the healthcheck off, still time ONE cached pass — the compile
+        # probe needs the cached-program baseline to compare against
+        health_wait = (
+            float(os.getenv("RTV_BENCH_HEALTH_WAIT_S", "600"))
+            if os.getenv("RTV_BENCH_HEALTHCHECK", "1") in ("1", "true")
+            else 0.0
+        )
+        deadline = _t.time() + health_wait
         while True:
             t0 = _t.perf_counter()
             out = _mm_chain(aw, 100)
@@ -101,11 +111,14 @@ def main() -> None:
             tf_fresh = 2 * 4096**3 * 100 / (_t.perf_counter() - t0) / 1e12
             print(f"health: fresh-compile {tf_fresh:.0f} TFLOP/s "
                   f"(cached {tf:.0f})", file=sys.stderr)
-            if tf_fresh < 0.7 * tf and "RTV_VAE_T1_TAPSKIP" not in os.environ:
-                vae_mod._T1_TAPSKIP = False
+            if tf_fresh < 0.7 * tf:
+                if "RTV_VAE_T1_TAPSKIP" not in os.environ:
+                    vae_mod._T1_TAPSKIP = False
+                if "RTV_VAE_QCAT" not in os.environ:
+                    vae_mod._QCAT = False
                 print("health: compile service POISONED — disabling T=1 "
-                      "tap-skip so re-encode/first-decode reuse the cached "
-                      "programs", file=sys.stderr)
+                      "tap-skip and quantize-before-concat so the VAE "
+                      "reuses the cached programs", file=sys.stderr)
 
     if tiny:
         cfg = WanModelConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2)

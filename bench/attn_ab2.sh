@@ -6,6 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/attn_ab2.log}"
+: > "$LOG"   # truncate: followers parse line positions, stale runs mislead
 
 PROBE=$(python bench/compile_probe.py 2>/dev/null | tail -1)
 echo "probe: $PROBE" | tee -a "$LOG"

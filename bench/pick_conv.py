@@ -1,0 +1,69 @@
+"""Pick conv-formulation winners from a run_conv_sweep.sh log and emit the
+RTV_VAE_CONV map to adopt them.
+
+The sweep measures decoder res-block convs (tap-merged, ci=3C) at shapes
+96/192/384 and encoder T=1 convs (tap-skip re-encode, ci=C) at enc96/192/384
+(bench/conv_micro.py SHAPES). Map keys are "CIxCO" (models/vae.py
+_variant_for), so decoder and encoder winners at the same Cout don't collide.
+
+Usage: python bench/pick_conv.py /tmp/conv_sweep.log
+"""
+from __future__ import annotations
+
+import re
+import sys
+
+# conv_micro label -> (is_int8_tier, formulation for the RTV_VAE_CONV map)
+VARIANTS = {
+    "conv": (False, "conv"),
+    "threeconv": (False, "threeconv"),
+    "shifted": (False, "shifted"),
+    "wcol": (False, "wcol"),
+    "im2col": (False, "im2col"),
+    "phase": (False, "phase"),
+    "int8": (True, "conv"),
+    "int8shifted": (True, "shifted"),
+    "int8wcol": (True, "wcol"),
+}
+LINE = re.compile(r"^(enc)?(\d+)ch (\w+): ([0-9.]+) ms/conv")
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/conv_sweep.log"
+    results: dict = {}  # (enc, C, int8) -> list[(ms, formulation, label)]
+    for line in open(path):
+        m = LINE.match(line.strip())
+        if not m:
+            continue
+        enc, c, label, ms = bool(m[1]), int(m[2]), m[3], float(m[4])
+        if label not in VARIANTS:
+            continue
+        int8, form = VARIANTS[label]
+        results.setdefault((enc, c, int8), []).append((ms, form, label))
+
+    if not results:
+        print(f"no sweep lines in {path}")
+        return
+    for tier in (True, False):
+        entries = []
+        print(f"-- {'int8' if tier else 'bf16'} tier --")
+        for (enc, c, int8), arms in sorted(results.items()):
+            if int8 != tier:
+                continue
+            arms.sort()
+            best_ms, form, label = arms[0]
+            base = next((a for a in arms if a[1] == "conv"), arms[-1])
+            key = f"{c}x{c}" if enc else f"{3 * c}x{c}"
+            print(f"  {'enc' if enc else 'dec'} {c}ch: {label} "
+                  f"{best_ms:.3f} ms (conv baseline {base[0]:.3f}, "
+                  f"{base[0] / best_ms:.2f}x)")
+            if form != "conv":
+                entries.append(f"{key}:{form}")
+        if entries:
+            print(f'  adopt: RTV_VAE_CONV="{",".join(entries)},default:conv"')
+        else:
+            print("  adopt: (default conv wins everywhere)")
+
+
+if __name__ == "__main__":
+    main()

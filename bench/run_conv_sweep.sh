@@ -5,6 +5,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/conv_sweep.log}"
+: > "$LOG"   # truncate: bench/pick_conv.py parses this, stale runs mislead
 
 echo "== probe ==" | tee -a "$LOG"
 PROBE=$(python bench/compile_probe.py 2>/dev/null | tail -1)

@@ -86,7 +86,11 @@ class WanDiffusion:
         assert "w" in qkv, "calibrate on float params, before quantize"
         fsl = cfg.frame_seq_length(lat_h, lat_w)
         cache_size = kv_frames * fsl
-        ts = list(steps) + [0.0]
+        # the t=0 context-refresh pass must be covered; don't double-run it
+        # when the caller's schedule already ends in the trailing zero
+        ts = list(steps)
+        if not ts or float(ts[-1]) != 0.0:
+            ts.append(0.0)
         rngs = jax.random.split(jax.random.PRNGKey(seed), len(ts) + 1)
         ctx = jax.random.normal(rngs[-1], (1, 512, cfg.text_dim), jnp.bfloat16)
         cross = self.compute_crossattn_cache(self.params, ctx)

@@ -98,6 +98,11 @@ _CONV_VARIANT = os.getenv("RTV_VAE_CONV", "conv")
 #: are faster than freshly compiled "optimised" ones (measured 8.2 -> 4.1 fps
 #: when the re-encode recompiled sick); flip off to reuse the old cache.
 _T1_TAPSKIP = os.getenv("RTV_VAE_T1_TAPSKIP", "1") in ("1", "true")
+#: quantise int8 activations BEFORE the temporal tap-concat (bit-exact, s8
+#: concat traffic). Changes the decoder HLO, so bench's poisoning probe
+#: flips it off to reuse the pre-change cached programs when fresh compiles
+#: are degraded.
+_QCAT = os.getenv("RTV_VAE_QCAT", "1") in ("1", "true")
 
 
 def _variant_for(co: int, ci: Optional[int] = None) -> str:
@@ -174,7 +179,10 @@ def conv3d(p: Params, x: jnp.ndarray, stride=(1, 1, 1), padding="VALID") -> jnp.
         assert st == 1 or kt == 1
         t_out = x.shape[0] - kt + 1
         xq = None
-        if kt > 1:
+        if kt > 1 and not _QCAT:
+            taps = [x[i : i + t_out] for i in range(kt)]
+            x = jnp.concatenate(taps, axis=-1)
+        elif kt > 1:
             # quantise BEFORE the tap-concat: per-tensor quantisation is
             # pointwise and every input frame appears in at least one tap, so
             # amax(taps(x)) == amax(x) and quantise∘concat == concat∘quantise

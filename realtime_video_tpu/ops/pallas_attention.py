@@ -643,6 +643,10 @@ def decode_attention(
     )
     if SKEW2 and not INT8_QK:
         bk2 = min(BK2, _round_up(Lk, 128))
+        # s_scr is [2, bq, bk2] f32 — cap the spill at ~8 MiB (the SKEW
+        # sibling bounds bq the same way; over-budget VMEM crashes the
+        # remote compile helper): 8*bq*bk2 bytes <= 8 MiB.
+        bq = min(bq, max(128, (1 << 20) // bk2 // 128 * 128))
         qp = _pad_seq(_prescale(q, scale).transpose(0, 2, 1, 3), bq)
         if NOPAD:
             # ceil KV grid + in-kernel tail masking (see the staticmax path)

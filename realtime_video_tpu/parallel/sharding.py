@@ -77,6 +77,31 @@ def wan_param_pspecs(params: Params, tp: str = "tp") -> Params:
     }
     if "img_emb" in params:
         specs["img_emb"] = jax.tree.map(lambda _: P(), params["img_emb"])
+    return _fixup_quantized(params, specs)
+
+
+def _fixup_quantized(params: Params, specs: Params) -> Params:
+    """Rewrite specs for int8-quantized linears (quantize_wan_linears):
+    {w:[L,in,out], b} becomes {w_q:[L,in,out] i8, scale:[L,out],
+    a_scale?:[L], b}. w_q inherits w's spec; scale keeps the out-dim
+    sharding so the per-channel rescale stays local to the tp shard."""
+    if isinstance(params, dict):
+        if "w_q" in params and isinstance(specs, dict) and "w" in specs:
+            w = specs["w"]
+            fixed = {
+                "w_q": w,
+                "scale": P(w[0], w[2]) if len(w) == 3 else P(None, None),
+            }
+            if "a_scale" in params:
+                fixed["a_scale"] = P(w[0]) if len(w) == 3 else P(None)
+            if "b" in params and "b" in specs:
+                fixed["b"] = specs["b"]
+            return fixed
+        if isinstance(specs, dict):
+            return {
+                k: _fixup_quantized(params[k], specs[k]) if k in params else v
+                for k, v in specs.items()
+            }
     return specs
 
 

@@ -123,3 +123,33 @@ def test_sharded_denoise_block_matches_single_device(gen):
         np.asarray(got_x0), np.asarray(ref_x0), rtol=2e-4, atol=2e-4
     )
     assert "tp" in str(new_kv["k"].sharding)
+
+
+def test_tp_sharded_int8_params_forward(gen):
+    """int8-quantized DiT params ({w_q, scale, a_scale?, b} leaves) must
+    shard through shard_wan_params like their float originals — the spec
+    tree is fixed up structurally (bench.py quantizes BEFORE sharding, so a
+    {w, b}-shaped spec tree would raise a tree-structure mismatch)."""
+    from realtime_video_tpu.models.wan_dit import quantize_wan_linears
+
+    qparams = dict(gen.params)
+    qparams = quantize_wan_linears(qparams)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 16, CFG.text_dim), jnp.float32)
+    cross = gen.compute_crossattn_cache(gen.params, ctx)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, F, C, H, W), jnp.float32)
+    t = jnp.full((1, F), 500.0, jnp.float32)
+    kv = kvc.init_kv_cache(CFG.num_layers, 1, 2 * F * FSL, CFG.num_heads, CFG.head_dim, jnp.float32)
+
+    ref_x0, _ = jax.jit(lambda p, k: _run(gen, p, k, cross, x, t))(qparams, kv)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    sp = shard_wan_params(qparams, mesh)  # raised ValueError before the fixup
+    skv = shard_kv_cache(kv, mesh)
+    got_x0, _ = jax.jit(lambda p, k: _run(gen, p, k, cross, x, t))(sp, skv)
+    np.testing.assert_allclose(
+        np.asarray(got_x0), np.asarray(ref_x0), rtol=1e-4, atol=1e-4
+    )
+    # the per-channel weight scales ride the same out-dim tp split as w_q
+    qkv = sp["blocks"]["self_attn"]
+    name = "qkv" if "qkv" in qkv else "q"
+    assert "tp" in str(qkv[name]["scale"].sharding)

@@ -66,3 +66,17 @@ def test_int8_static_act_scales(params):
     p0, cache = vae_mod.decode_chunks(CFG, q, z[:, :1], None, first=True)
     p1, _ = vae_mod.decode_chunks(CFG, q, z[:, 1:], cache, first=False)
     assert np.isfinite(np.asarray(p1)).all()
+
+
+def test_qcat_toggle_bit_exact(params, monkeypatch):
+    """Quantize-before-tap-concat (_QCAT, default on) is bit-for-bit equal to
+    concat-then-quantize: per-tensor quantisation is pointwise and every
+    frame appears in at least one tap, so amax is unchanged. bench's
+    poisoning probe relies on this to flip _QCAT off losslessly."""
+    q = vae_mod.quantize_vae_params(params)
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 6, 4, 4, CFG.z_dim)) * 0.1
+    monkeypatch.setattr(vae_mod, "_QCAT", True)
+    on, _ = vae_mod.decode_chunks(CFG, q, z, None, first=True)
+    monkeypatch.setattr(vae_mod, "_QCAT", False)
+    off, _ = vae_mod.decode_chunks(CFG, q, z, None, first=True)
+    np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
