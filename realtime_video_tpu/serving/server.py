@@ -74,6 +74,15 @@ async def health(request: web.Request) -> web.Response:
     return web.Response(text="OK")
 
 
+async def metrics(request: web.Request) -> web.Response:
+    """JSON serving metrics (sessions, frame throughput, live TTFF
+    percentiles). The reference exposes no metrics surface; this tracks
+    BASELINE.md's two north stars (fps, p50 TTFF) on live traffic."""
+    from realtime_video_tpu.serving.metrics import METRICS
+
+    return web.json_response(METRICS.snapshot())
+
+
 async def root(request: web.Request) -> web.Response:
     demo = Path(__file__).resolve().parents[2] / "templates" / "release_demo.html"
     if not demo.exists():
@@ -139,6 +148,7 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config,
     session: Optional[GenerationSession] = None
     frame_sender_task = None
     generate_task = None
+    metrics_started = False
     try:
         params = None
         async for msg in websocket:
@@ -155,6 +165,10 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config,
                 )
         if params is None:
             return
+        from realtime_video_tpu.serving.metrics import METRICS
+
+        METRICS.session_started(id)
+        metrics_started = True
         params.block_on_frame = True
         if params.seed is None:
             params.seed = random.randint(0, 2**24 - 1)
@@ -180,6 +194,7 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config,
                 try:
                     next_frame = await (await frame_queue.get())
                     await websocket.send_bytes(next_frame)
+                    METRICS.frame_sent(id)
                 except asyncio.CancelledError:
                     break
                 except Exception as e:  # noqa: BLE001
@@ -294,6 +309,10 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config,
                         log.warning("High latency detected: %.2fs", time.time() - ts / 1000.0)
     finally:
         log.info("Terminating session")
+        if metrics_started:
+            from realtime_video_tpu.serving.metrics import METRICS as _m
+
+            _m.session_ended(id)
         if session:
             session.dispose()
         if frame_sender_task:
@@ -332,6 +351,7 @@ def create_app(config=None, models: Optional[Models] = None) -> web.Application:
 
         warmup_models(models, config)
     app.router.add_get("/health", health)
+    app.router.add_get("/metrics", metrics)
     app.router.add_get("/", root)
     app.router.add_post("/upload_video", upload_video)
     app.router.add_post("/upload_start_frame", upload_start_frame)

@@ -106,6 +106,20 @@ def test_health_and_ws_stream(app):
                 # block0: 6 frames, block1: 12 -> 18 total
                 assert frames == 18, frames
                 assert completed
+
+            # /metrics saw the stream: frames counted, TTFF recorded,
+            # active count back to zero once server-side teardown finishes
+            for _ in range(50):
+                resp = await client.get("/metrics")
+                assert resp.status == 200
+                snap = await resp.json()
+                if snap["sessions_active"] == 0:
+                    break
+                await asyncio.sleep(0.1)
+            assert snap["frames_sent_total"] >= 18
+            assert snap["sessions_total"] >= 1
+            assert snap["sessions_active"] == 0
+            assert snap["ttff_ms_p50"] is not None and snap["ttff_ms_p50"] > 0
         finally:
             await client.close()
 
