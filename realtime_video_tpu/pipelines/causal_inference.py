@@ -76,7 +76,11 @@ class CausalInferencePipeline:
         return self.generator.cfg.max_attention_size(frame_seqlen)
 
     def _get_block_fn(self, steps: Tuple[float, ...], refresh_t: Optional[float], max_attn: int):
-        key = (steps, refresh_t, max_attn)
+        # make_denoise_block_fn freezes generator.schedule at build time, so
+        # the shift must be part of the key — a serving session mutating the
+        # shared generator.schedule would otherwise be baked in (or a later
+        # schedule change silently ignored)
+        key = (steps, refresh_t, max_attn, float(self.generator.schedule.shift))
         if key in self._block_fns:
             return self._block_fns[key]
         fn = jax.jit(

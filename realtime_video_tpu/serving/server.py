@@ -328,11 +328,28 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config,
 async def app_session(request: web.Request) -> web.WebSocketResponse:
     ws = web.WebSocketResponse()
     await ws.prepare(request)
-    await ws_session(
-        ws, request.match_info["id"],
-        config=request.app["config"], models=request.app["models"],
-        query=request.query,
-    )
+    # one active generation session per worker by default: sessions share the
+    # pipeline's KV/cross-attn caches (same single-session assumption as the
+    # reference, whose generate_pool has max_workers=1 and whose router pins
+    # one client per worker, release_server.py:918) — a second concurrent
+    # session would silently corrupt the first, so refuse it instead.
+    app = request.app
+    limit = int(app["config"].get("max_concurrent_sessions", 1) or 1)
+    if app.setdefault("active_ws_sessions", 0) >= limit:
+        await ws.send_json({
+            "error": "server busy: generation session already active"
+        })
+        await ws.close()
+        return ws
+    app["active_ws_sessions"] += 1
+    try:
+        await ws_session(
+            ws, request.match_info["id"],
+            config=app["config"], models=app["models"],
+            query=request.query,
+        )
+    finally:
+        app["active_ws_sessions"] -= 1
     return ws
 
 

@@ -107,6 +107,47 @@ def fused_block_step(
     return jax.jit(fn, donate_argnums=(1,))
 
 
+@lru_cache(maxsize=8)
+def _prefill_fn_cached(gen, fsl: int, nfpb: int, num_ctx_frames: int):
+    """Module-level (keyed on the long-lived transformer, not the session —
+    session-keyed lru_caches pinned disposed sessions' device arrays)."""
+    mask = attn_ops.blockwise_causal_mask(num_ctx_frames, fsl, nfpb)
+
+    def fn(params, kv, cross, latents):
+        t = jnp.zeros(latents.shape[:2], jnp.float32)
+        _, new_kv = wan_dit.dit_forward(
+            gen.cfg, params, latents, t, gen.rope, cross,
+            mode="prefill", kv_cache=kv, attn_mask=mask,
+        )
+        return new_kv
+
+    return jax.jit(fn, donate_argnums=(1,))
+
+
+@lru_cache(maxsize=8)
+def _denoise_fn_cached(gen, shift: float, steps: Tuple[float, ...], max_attn: int):
+    gen.schedule = FlowMatchSchedule.create(
+        shift=shift, sigma_min=0.0, extra_one_step=True
+    )
+    return jax.jit(
+        gen.make_denoise_block_fn(steps, max_attn, refresh_t=None),
+        donate_argnums=(1,),
+    )
+
+
+@lru_cache(maxsize=32)
+def _encode_v2v_cached(vae_encoder, video_path_or_url, height, width,
+                       max_frames, resample_to):
+    """Keyed on the long-lived encoder + request statics (the reference puts
+    this lru_cache on the session method, release_server.py:530 — which pins
+    every disposed session's latents; keying on the encoder frees sessions)."""
+    return encode_video_latent(
+        vae_encoder, None, video_path_or_url=video_path_or_url,
+        height=height, width=width, stream=False,
+        max_frames=max_frames, resample_to=resample_to,
+    )
+
+
 class GenerationSession:
     SESSION_COUNTER = AtomicCounter()
 
@@ -146,6 +187,9 @@ class GenerationSession:
         self.current_prompt_embeds: Optional[jnp.ndarray] = None
         self.conditional_dict: Dict[str, jnp.ndarray] = {}
 
+        # stored but unused in serving, matching the reference byte-for-byte
+        # (release_server.py:384 stores it and never reads it again; only
+        # the offline CausalInferencePipeline wires context noising)
         self.context_noise = params.context_noise
         self.kv_cache_num_frames = params.kv_cache_num_frames
         self.g_num_blocks = self.num_blocks = params.num_blocks
@@ -188,6 +232,8 @@ class GenerationSession:
             n = min(latents.shape[1], self.noise.shape[1])
             mixed = latents[:, :n] * (1.0 - init_strength) + noise[:, :n] * init_strength
             self.noise = self.noise.at[:, :n].set(mixed) if n < self.noise.shape[1] else mixed
+            # the -1 (last input block reserved) is the reference's own
+            # arithmetic, release_server.py:429 — a 1-block video yields 0
             actual_num_blocks = latents.shape[1] // self.num_frame_per_block - 1
             self.num_blocks = min(actual_num_blocks, self.params.num_blocks)
         if self.params.resume_latents is not None and isinstance(
@@ -236,31 +282,16 @@ class GenerationSession:
         # serving attends over the whole (kv_frames + block) cache
         return (self.kv_cache_num_frames + self.num_frame_per_block) * self.frame_seq_length
 
-    @lru_cache(maxsize=8)
     def _prefill_fn(self, num_ctx_frames: int):
-        gen = self.models.transformer
-        fsl = self.frame_seq_length
-        mask = attn_ops.blockwise_causal_mask(
-            num_ctx_frames, fsl, self.num_frame_per_block
+        return _prefill_fn_cached(
+            self.models.transformer, self.frame_seq_length,
+            self.num_frame_per_block, num_ctx_frames,
         )
 
-        def fn(params, kv, cross, latents):
-            t = jnp.zeros(latents.shape[:2], jnp.float32)
-            _, new_kv = wan_dit.dit_forward(
-                gen.cfg, params, latents, t, gen.rope, cross,
-                mode="prefill", kv_cache=kv, attn_mask=mask,
-            )
-            return new_kv
-
-        return jax.jit(fn, donate_argnums=(1,))
-
-    @lru_cache(maxsize=8)
     def _denoise_fn(self, steps: Tuple[float, ...]):
-        gen = self.models.transformer
-        gen.schedule = self.schedule  # session-specific timestep shift
-        return jax.jit(
-            gen.make_denoise_block_fn(steps, self._max_attn(), refresh_t=None),
-            donate_argnums=(1,),
+        return _denoise_fn_cached(
+            self.models.transformer, float(self.params.timestep_shift),
+            steps, self._max_attn(),
         )
 
     def _block_step_fn(self, steps: Tuple[float, ...], num_ctx_frames: int):
@@ -293,7 +324,13 @@ class GenerationSession:
         p2 = models.text_encoder(text_prompts=[new_prompt])["prompt_embeds"].astype(
             jnp.bfloat16
         )
-        ws = jnp.linspace(0.0, 1.0, interpolation_steps)[:, None, None]
+        if interpolation_steps == 1:
+            # jump straight to the new prompt. The reference's
+            # torch.linspace(0, 1, 1) == [0.] (release_server.py:466) would
+            # re-apply the OLD embedding and drop the new prompt forever.
+            ws = jnp.ones((1,))[:, None, None]
+        else:
+            ws = jnp.linspace(0.0, 1.0, interpolation_steps)[:, None, None]
         x = p1[0][None] * (1 - ws) + p2[0][None] * ws  # [steps, T, D]
         self.interpolated_prompt_embeds = [x[i][None] for i in range(interpolation_steps)]
 
@@ -347,13 +384,10 @@ class GenerationSession:
         )
         return latents
 
-    @lru_cache(maxsize=32)
     def encode_v2v(self, video_path_or_url: str, max_frames=None, resample_to=None):
-        return encode_video_latent(
-            self.models.vae_encoder, None,
-            video_path_or_url=video_path_or_url,
-            height=self.params.height, width=self.params.width,
-            stream=False, max_frames=max_frames, resample_to=resample_to,
+        return _encode_v2v_cached(
+            self.models.vae_encoder, video_path_or_url,
+            self.params.height, self.params.width, max_frames, resample_to,
         )
 
     def setup_start_frame(self, image, models):
@@ -390,7 +424,11 @@ class GenerationSession:
             if k == 1:
                 return ctx[:, :1]
             return jnp.concatenate([ctx[:, :1], ctx[:, 1:][:, -(k - 1):]], axis=1)
-        tail = ctx[:, 1:][:, -(k - 1):]
+        # k == 1 must keep NO tail (context = the re-encoded frame alone).
+        # The reference's `[:, -k + 1:]` is `[:, 0:]` at k=1 — an upstream
+        # off-by-zero (release_server.py:573) that its warmup branch shows is
+        # unintended; here it would overflow the (k+3)-frame KV cache.
+        tail = ctx[:, 1:][:, -(k - 1):] if k > 1 else ctx[:, :0]
         # stays on device: the oldest cached pixel frame changes every block
         # (rolling deque), so this VAE encode is paid per block — don't add a
         # host round-trip on top (reference pulls .half() on GPU, :574)
@@ -446,16 +484,6 @@ class GenerationSession:
         idx = self.block_idx
         if idx >= self.num_blocks:
             return None
-        if (
-            idx > 0
-            and self.current_start_frame + self.num_frame_per_block
-            > self.all_latents.shape[1]
-        ):
-            # resume latents consumed part of the frame budget — end
-            # gracefully instead of slicing an empty noise block (the
-            # reference would feed a short tensor here and error out of the
-            # generate loop, release_server.py:660)
-            return None
 
         if self.current_prompt_embeds is None:
             cond = models.text_encoder(text_prompts=[self.params.prompt])
@@ -467,12 +495,28 @@ class GenerationSession:
 
         clean_context, model_input_start_frame = self.plan_block_context(models)
         assert model_input_start_frame is not None
+        if (
+            self.current_start_frame + self.num_frame_per_block
+            > self.all_latents.shape[1]
+        ):
+            # resume latents consumed the frame budget (possible at idx==0
+            # too: plan_block_context just advanced current_start_frame by
+            # the resume length) — end gracefully instead of slicing an
+            # empty noise block (the reference would feed a short tensor
+            # here and error out of the generate loop, release_server.py:660)
+            return None
+        # never appended — matches the reference, whose frame_ids list is
+        # also born empty (release_server.py:649; tensor.request_id at :482
+        # is attached but never read), so every frame is tagged UUID_NIL
         frame_ids: List[Optional[str]] = []
 
         if self.params.webcam_mode:
             latents = self.process_webcam_frames(models, idx)
             if latents is None:
                 return None
+            # like the reference (release_server.py:656), a mid-stream
+            # strength update only mutates params.strength — the step list
+            # (and so this mix) keeps the session's initial strength
             strength = float(self.denoising_step_list[0]) / 1000.0
             latents = latents[None].astype(self.noise.dtype)
             if latents.ndim == 6:

@@ -222,3 +222,35 @@ def test_midstream_reset_keeps_server_alive(app):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_second_concurrent_session_refused(app):
+    """Sessions share the pipeline's KV/cross-attn caches (same
+    single-active-session model as the reference's 1-worker generate pool,
+    release_server.py:918); a second concurrent WS must be refused with an
+    error instead of silently corrupting the first, and the slot must free
+    when the first socket closes."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            async with client.ws_connect("/session/busy1") as ws1:
+                ready = await ws1.receive_json(timeout=30)
+                assert ready["status"] == "ready"
+                async with client.ws_connect("/session/busy2") as ws2:
+                    msg = await ws2.receive_json(timeout=30)
+                    assert "busy" in msg.get("error", ""), msg
+            # slot freed after ws1 closed
+            for _ in range(50):
+                if app.get("active_ws_sessions", 0) == 0:
+                    break
+                await asyncio.sleep(0.1)
+            async with client.ws_connect("/session/busy3") as ws3:
+                ready = await ws3.receive_json(timeout=30)
+                assert ready["status"] == "ready"
+        finally:
+            await client.close()
+
+    asyncio.run(run())

@@ -215,3 +215,52 @@ def test_session_start_frame_conditioning(models, tmp_path):
     total = sum(f.shape[1] for f in frames)
     assert total == 6  # 1+4+4 decoded, first 3 dropped
     assert all(np.isfinite(f).all() for f in frames)
+
+
+def test_k1_anti_drift_context_single_frame(models):
+    """kv_cache_num_frames=1 with keep_first_frame=False: the re-encode
+    branch must return exactly ONE context frame. The reference's
+    `[:, -k+1:]` slice is `[:, 0:]` at k=1 (release_server.py:573) — an
+    upstream off-by-zero that here would overflow the (1+3)-frame cache."""
+    m, config = models
+    s = GenerationSession(
+        _params(num_blocks=3, kv_cache_num_frames=1, keep_first_frame=False),
+        config, frame_callback=lambda *a: None, models=m,
+    )
+    for _ in range(3):
+        s.generate_block(m)
+    assert s.block_idx == 3
+    ctx = s.get_clean_context_frames(m)
+    assert ctx.shape[1] == 1, ctx.shape
+
+
+def test_prompt_interpolation_single_step(models):
+    """interp_steps=1 must jump to the NEW prompt (torch.linspace(0,1,1)
+    is [0.], which would silently re-apply the old one forever)."""
+    m, config = models
+    s = GenerationSession(_params(), config, frame_callback=lambda *a: None, models=m)
+    s.generate_block(m)
+    new_embed = m.text_encoder(text_prompts=["a red fox"])["prompt_embeds"]
+    s.interpolate_prompt_embeds(m, "a red fox", 1)
+    s.generate_block(m)
+    np.testing.assert_array_equal(
+        np.asarray(s.current_prompt_embeds, np.float32),
+        np.asarray(new_embed.astype(jnp.bfloat16), np.float32),
+    )
+
+
+def test_resume_full_budget_ends_gracefully(models):
+    """Resume latents that fill the whole frame budget: block 0 must end
+    the session (return None) instead of denoising a zero-length block."""
+    import io
+
+    m, config = models
+    arr = np.zeros((6, 16, 8, 8), np.float32)  # Tz == num_blocks * 3
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    s = GenerationSession(
+        _params(num_blocks=2, resume_latents=buf.getvalue()), config,
+        frame_callback=lambda *a: None, models=m,
+    )
+    assert s.generate_block_internal(m) is None
+    assert s.current_start_frame == 6  # resume applied, nothing generated
