@@ -344,7 +344,7 @@ def rms_norm_image(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def residual_block(p: Params, x: jnp.ndarray, io: _CacheIO, first: bool) -> jnp.ndarray:
+def residual_block(p: Params, x: jnp.ndarray, io: _CacheIO) -> jnp.ndarray:
     """ResidualBlock (vae.py:175-209): RMS-SiLU-conv ×2 + shortcut."""
     h = x
     if "shortcut" in p:
@@ -481,12 +481,12 @@ def encoder_apply(
     _, plan = _encoder_plan(cfg)
     for spec, p in zip(plan, params["downsamples"]):
         if spec[0] == "res":
-            x = residual_block(p, x, io, first)
+            x = residual_block(p, x, io)
         else:
             x = resample(p, spec[1], x, io, first)
-    x = residual_block(params["middle_res1"], x, io, first)
+    x = residual_block(params["middle_res1"], x, io)
     x = attention_block(params["middle_attn"], x)
-    x = residual_block(params["middle_res2"], x, io, first)
+    x = residual_block(params["middle_res2"], x, io)
     x = rms_norm_image(params["head_norm"], x)
     x = jax.nn.silu(x)
     x = causal_conv3d(params["head_conv"], x, io.get(), io)
@@ -499,13 +499,13 @@ def decoder_apply(
     """Decoder3d (vae.py:348-446). x [B,T,h,w,z] -> [B,~4T,8h,8w,3]."""
     io = _CacheIO(cache)
     x = causal_conv3d(params["conv1"], x, io.get(), io)
-    x = residual_block(params["middle_res1"], x, io, first)
+    x = residual_block(params["middle_res1"], x, io)
     x = attention_block(params["middle_attn"], x)
-    x = residual_block(params["middle_res2"], x, io, first)
+    x = residual_block(params["middle_res2"], x, io)
     _, plan = _decoder_plan(cfg)
     for spec, p in zip(plan, params["upsamples"]):
         if spec[0] == "res":
-            x = residual_block(p, x, io, first)
+            x = residual_block(p, x, io)
         else:
             x = resample(p, spec[1], x, io, first)
     x = rms_norm_image(params["head_norm"], x)
@@ -806,6 +806,9 @@ def encode_chunks(
     t = vid.shape[0]
     outs = []
     if not stream:
+        # a warm cache with stream=False would be silently discarded and the
+        # frames re-encoded as a fresh 1+4k stream (diverging latents)
+        assert cache is None, "pass stream=True to continue a warm encode"
         z, cache = encoder_apply(cfg, params["encoder"], vid[:1], None, first=True)
         outs.append(z)
         rest = range(1, t, 4)

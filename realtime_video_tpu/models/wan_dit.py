@@ -186,6 +186,20 @@ def quantize_wan_linears(
     new_blocks = dict(blocks)
     for key in ("self_attn", "cross_attn", "ffn"):
         new_blocks[key] = walk(blocks[key], key)
+    if act_scales:
+        attached = sum(
+            1 for g in ("self_attn", "cross_attn", "ffn")
+            for v in new_blocks[g].values()
+            if isinstance(v, dict) and "a_scale" in v
+        )
+        # calibration against a different param layout (e.g. calibrated
+        # unfused q/k/v then fused before quantizing) would silently fall
+        # back to dynamic amax — a perf regression with no error. Fail
+        # loudly instead (the VAE counterpart asserts the same way).
+        assert attached > 0, (
+            "act_scales matched no linear: calibrate and quantize on the "
+            f"SAME param layout (scale keys: {sorted(act_scales)})"
+        )
     return dict(params, blocks=new_blocks)
 
 
@@ -272,6 +286,10 @@ def fuse_qkv_params(params: Params) -> Params:
     sa = params["blocks"]["self_attn"]
     if "qkv" in sa:
         return params
+    assert "w" in sa["q"], (
+        "fuse_qkv_params must run BEFORE quantize_wan_linears "
+        "(the split float weights are needed to build the fused qkv)"
+    )
     fused = {
         "w": jnp.concatenate([sa["q"]["w"], sa["k"]["w"], sa["v"]["w"]], axis=-1),
         "b": jnp.concatenate([sa["q"]["b"], sa["k"]["b"], sa["v"]["b"]], axis=-1),
@@ -847,14 +865,16 @@ def dit_classify(
     """Discriminator logits [B, num_class] (classify-mode forward,
     model.py:775-795). Full bidirectional attention, no cache."""
     b, f, c, h, w = noisy.shape
-    fsl = cfg.frame_seq_length(h, w)
-    mask = jnp.ones((f * fsl, f * fsl), bool)
     registers = rms_norm(
         gan_params["register_norm"], gan_params["register_tokens"], eps=1e-6
     )
+    # attn_mask=None: full bidirectional attention IS the mask-free fast
+    # path — a dense all-ones [L,L] mask would be a mathematical no-op that
+    # forces the masked XLA attention (O(L^2) memory; ~1 GB of mask alone at
+    # the 32760-token teacher shape) instead of the flash kernel
     _, logits = dit_forward(
         cfg, params, noisy, t.astype(jnp.float32), rope_tables, crossattn_cache,
-        mode="train", attn_mask=mask,
+        mode="train", attn_mask=None,
         gan_classify={
             "taps": taps,
             "registers": registers,
