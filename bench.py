@@ -103,14 +103,34 @@ def main() -> None:
                     lambda _, ac: (ac @ w0 * salt).astype(ac.dtype), a,
                 )
 
-            af = _mm_fresh(a0, 100)
-            jax.device_get(af[0, :2])
-            t0 = _t.perf_counter()
-            outf = _mm_fresh(af, 100)
-            jax.device_get(outf[0, :2])
-            tf_fresh = 2 * 4096**3 * 100 / (_t.perf_counter() - t0) / 1e12
+            # the sick service sometimes never returns a fresh compile
+            # (observed: tiny eager compiles hanging >25 min). Run the probe
+            # in a daemon thread with a deadline; a timeout means the service
+            # is unusable for fresh compiles — same verdict as "poisoned".
+            # The orphaned thread finishes (or not) harmlessly; JAX compile
+            # calls release the GIL, and nothing downstream depends on it.
+            import threading as _th
+
+            probe_out: dict = {}
+
+            def _probe():
+                af = _mm_fresh(a0, 100)
+                jax.device_get(af[0, :2])
+                t0 = _t.perf_counter()
+                outf = _mm_fresh(af, 100)
+                jax.device_get(outf[0, :2])
+                probe_out["tf"] = (
+                    2 * 4096**3 * 100 / (_t.perf_counter() - t0) / 1e12
+                )
+
+            th = _th.Thread(target=_probe, daemon=True)
+            th.start()
+            th.join(float(os.getenv("RTV_BENCH_PROBE_DEADLINE_S", "900")))
+            tf_fresh = probe_out.get("tf", 0.0)  # 0.0 = hung past deadline
             print(f"health: fresh-compile {tf_fresh:.0f} TFLOP/s "
-                  f"(cached {tf:.0f})", file=sys.stderr)
+                  f"(cached {tf:.0f})"
+                  + (" [probe timed out]" if th.is_alive() else ""),
+                  file=sys.stderr)
             if tf_fresh < 0.7 * tf:
                 if "RTV_VAE_T1_TAPSKIP" not in os.environ:
                     vae_mod._T1_TAPSKIP = False
