@@ -46,13 +46,24 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     touch /tmp/secure_attempt_start
 
     echo "$(date -u +%H:%M:%S) attempt $attempt: recompiling default-env bench"
-    FPS=$(run_bench /tmp/bench_secure.json /tmp/bench_secure.log)
+    FPS=$(run_bench /tmp/bench_secure.json /tmp/bench_secure.log \
+        RTV_BENCH_HEALTH_WAIT_S=120)
     echo "$(date -u +%H:%M:%S) attempt $attempt: default-env fps=$FPS"
     if ! python -c "import sys; sys.exit(0 if float('${FPS:-0}' or 0) >= $MIN_FPS else 1)"; then
-        echo "  below $MIN_FPS — purging this attempt's executables, sleeping $SLEEP_S"
-        find ~/.rtv_jax_cache -type f -newer /tmp/secure_attempt_start -delete 2>/dev/null
-        sleep "$SLEEP_S"
-        continue
+        # the slowness may be TRANSIENT execution sickness, not degraded
+        # executables — re-measure once on the just-cached programs (cheap,
+        # full cache hit) before discarding them
+        FPSR=$(run_bench /tmp/bench_secure_r.json /tmp/bench_secure_r.log \
+            RTV_BENCH_HEALTH_WAIT_S=120)
+        echo "$(date -u +%H:%M:%S) attempt $attempt: cache-hit re-measure fps=$FPSR"
+        if python -c "import sys; sys.exit(0 if float('${FPSR:-0}' or 0) >= $MIN_FPS else 1)"; then
+            FPS="$FPSR"   # programs are fine; first read was a bad moment
+        else
+            echo "  below $MIN_FPS twice — purging this attempt's executables, sleeping $SLEEP_S"
+            find ~/.rtv_jax_cache -type f -newer /tmp/secure_attempt_start -delete 2>/dev/null
+            sleep "$SLEEP_S"
+            continue
+        fi
     fi
 
     echo "  GOOD WINDOW — caching the fallback-variant traces too"
