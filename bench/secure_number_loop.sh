@@ -59,6 +59,17 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
         if python -c "import sys; sys.exit(0 if float('${FPSR:-0}' or 0) >= $MIN_FPS else 1)"; then
             FPS="$FPSR"   # programs are fine; first read was a bad moment
         else
+            # archive the best failed attempt: if no window ever clears
+            # MIN_FPS, restoring these beats leaving the driver an empty
+            # cache (it would recompile in whatever window it lands on)
+            BEST=$(cat /tmp/secure_best_fps 2>/dev/null || echo 0)
+            KEEP=$(python -c "print(max(float('${FPS:-0}' or 0), float('${FPSR:-0}' or 0)))")
+            if python -c "import sys; sys.exit(0 if float('$KEEP') > float('$BEST' or 0) else 1)"; then
+                rm -rf /tmp/secure_best_cache
+                cp -al ~/.rtv_jax_cache /tmp/secure_best_cache
+                echo "$KEEP" > /tmp/secure_best_fps
+                echo "  archived as best-so-far ($KEEP fps)"
+            fi
             echo "  below $MIN_FPS twice — purging this attempt's executables, sleeping $SLEEP_S"
             find ~/.rtv_jax_cache -type f -newer /tmp/secure_attempt_start -delete 2>/dev/null
             sleep "$SLEEP_S"
@@ -88,5 +99,10 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     exit 0
 done
 echo "gave up after $MAX_ATTEMPTS attempts (service never produced a good window)"
+if [ -d /tmp/secure_best_cache ]; then
+    echo "restoring best-so-far cache ($(cat /tmp/secure_best_fps 2>/dev/null) fps)"
+    rm -rf ~/.rtv_jax_cache
+    mv /tmp/secure_best_cache ~/.rtv_jax_cache
+fi
 rm -f /tmp/tpu_loop.pid
 echo "SECURE DONE"
