@@ -28,7 +28,10 @@ def main() -> None:
         # pre-registers itself); only the config update does (CLAUDE.md)
         jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: tunnel compiles take minutes; cache them
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtv_jax_cache"))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser(os.getenv("RTV_JAX_CACHE_DIR", "~/.rtv_jax_cache")),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 

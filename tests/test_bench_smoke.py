@@ -18,13 +18,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_tiny_cpu_emits_metric_json():
+def test_bench_tiny_cpu_emits_metric_json(tmp_path):
     env = dict(
         os.environ,
         RTV_BENCH_CPU="1",
         RTV_BENCH_TINY="1",
         JAX_PLATFORMS="",
         PYTHONPATH=REPO,
+        # keep the suite's CPU programs out of the TPU program cache (its
+        # timestamps drive the sick-window purge forensics)
+        RTV_JAX_CACHE_DIR=str(tmp_path / "jax_cache"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
