@@ -15,21 +15,27 @@ if ! echo "$PROBE" | grep -q HEALTHY; then
     exit 1
 fi
 
-for shape in 96 192 384; do
-    for v in conv threeconv shifted wcol im2col phase int8 int8shifted int8wcol; do
-        echo "== $shape $v ==" | tee -a "$LOG"
-        python bench/conv_micro.py --shape "$shape" --variant "$v" 2>/dev/null \
-            | tail -1 | tee -a "$LOG"
-    done
-done
+run_arm() {
+    echo "== $1 $2 ==" | tee -a "$LOG"
+    python bench/conv_micro.py --shape "$1" --variant "$2" 2>/dev/null \
+        | tail -1 | tee -a "$LOG"
+}
 
-# encoder T=1 arms (the anti-drift re-encode shapes) — after the decoder
-# arms so the primary question answers first if the window closes
+# healthy windows are short and close without warning (2026-08-17: quality
+# flipped within minutes) — answer the PRODUCTION questions first. The
+# serving tier is int8 (VAE decoder AND the T=1 re-encode encoder), and 96ch
+# is ~2/3 of decode FLOPs, so: int8 arms at every shape, then enc int8 arms,
+# then the bf16/exploratory arms.
+for shape in 96 192 384; do
+    for v in int8 int8shifted int8wcol; do run_arm "$shape" "$v"; done
+done
 for shape in enc96 enc192 enc384; do
-    for v in conv shifted wcol int8 int8shifted int8wcol; do
-        echo "== $shape $v ==" | tee -a "$LOG"
-        python bench/conv_micro.py --shape "$shape" --variant "$v" 2>/dev/null \
-            | tail -1 | tee -a "$LOG"
-    done
+    for v in int8 int8shifted int8wcol; do run_arm "$shape" "$v"; done
+done
+for shape in 96 192 384; do
+    for v in conv threeconv shifted wcol im2col phase; do run_arm "$shape" "$v"; done
+done
+for shape in enc96 enc192 enc384; do
+    for v in conv shifted wcol; do run_arm "$shape" "$v"; done
 done
 echo "sweep done: $LOG"
