@@ -25,6 +25,19 @@ echo "post-sweep probe: $PROBE"
 if echo "$PROBE" | grep -q HEALTHY; then
     timeout 7200 bash bench/attn_ab2.sh /tmp/attn_ab2.log || true
     tail -6 /tmp/attn_ab2.log 2>/dev/null
+    # fused A/B for any standalone winner (standalone wins don't decide
+    # defaults — CLAUDE.md measurement rules). NOPAD/SKEW2 traces differ from
+    # the secured default programs, so a sick-window compile here cannot
+    # clobber them.
+    BASE=$(grep "ms/layer" /tmp/attn_ab2.log | sed -n 1p | sed -n 's/.*: \([0-9.]*\) ms.*/\1/p')
+    NOPAD=$(grep "ms/layer" /tmp/attn_ab2.log | sed -n 2p | sed -n 's/.*: \([0-9.]*\) ms.*/\1/p')
+    if [ -n "${BASE:-}" ] && [ -n "${NOPAD:-}" ] && \
+       python -c "import sys; sys.exit(0 if float('$NOPAD') < 0.98*float('$BASE') else 1)"; then
+        echo "NOPAD wins standalone ($NOPAD vs $BASE) — fused A/B"
+        RTV_ATTN_NOPAD=1 RTV_BENCH_HEALTH_WAIT_S=120 timeout 7200 python bench.py \
+            > /tmp/bench_nopad.json 2> /tmp/bench_nopad.log
+        echo "fused NOPAD: $(cat /tmp/bench_nopad.json 2>/dev/null)"
+    fi
 else
     echo "attn A/B skipped (probe sick)"
 fi

@@ -278,35 +278,42 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config,
                 if msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR):
                     break
                 continue
-            frame = unpackb(msg.data)
+            try:
+                frame = unpackb(msg.data)
+            except Exception:  # noqa: BLE001 — a garbage frame must not
+                log.warning("Undecodable mid-stream frame")  # kill the session
+                continue
             if not isinstance(frame, dict):
                 log.warning("Received non-dict frame data")
                 continue
-            if frame.get("action") == "reset":
-                session.dispose()
-                session = new_session()
-            if frame.get("prompt", session.params.prompt) != session.params.prompt:
-                params.prompt = frame["prompt"]
-                try:
-                    interp_steps = int(
-                        frame.get("interp_steps", frame.get("interpolation_steps", 4))
+            try:
+                if frame.get("action") == "reset":
+                    session.dispose()
+                    session = new_session()
+                if frame.get("prompt", session.params.prompt) != session.params.prompt:
+                    params.prompt = frame["prompt"]
+                    try:
+                        interp_steps = int(
+                            frame.get("interp_steps", frame.get("interpolation_steps", 4))
+                        )
+                    except Exception:  # noqa: BLE001
+                        interp_steps = 4
+                    interp_steps = max(1, interp_steps)
+                    session.interpolate_prompt_embeds(
+                        models, session.params.prompt, interp_steps
                     )
-                except Exception:  # noqa: BLE001
-                    interp_steps = 4
-                interp_steps = max(1, interp_steps)
-                session.interpolate_prompt_embeds(
-                    models, session.params.prompt, interp_steps
-                )
-            if (new_seed := frame.get("seed")) is not None:
-                session.params.seed = int(new_seed)
-            if image := frame.get("image"):
-                await loop.run_in_executor(
-                    encode_pool, session.push_frame, image,
-                    frame.get("strength"), frame.get("request_id"),
-                )
-                if (ts := frame.get("timestamp")) and isinstance(ts, (int, float)):
-                    if time.time() - ts / 1000.0 > 1.0:
-                        log.warning("High latency detected: %.2fs", time.time() - ts / 1000.0)
+                if (new_seed := frame.get("seed")) is not None:
+                    session.params.seed = int(new_seed)
+                if image := frame.get("image"):
+                    await loop.run_in_executor(
+                        encode_pool, session.push_frame, image,
+                        frame.get("strength"), frame.get("request_id"),
+                    )
+                    if (ts := frame.get("timestamp")) and isinstance(ts, (int, float)):
+                        if time.time() - ts / 1000.0 > 1.0:
+                            log.warning("High latency detected: %.2fs", time.time() - ts / 1000.0)
+            except Exception as e:  # noqa: BLE001 — one bad control message
+                log.error("Error handling mid-stream message: %s", e)  # != dead session
     finally:
         log.info("Terminating session")
         if metrics_started:

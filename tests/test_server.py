@@ -254,3 +254,46 @@ def test_second_concurrent_session_refused(app):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_midstream_garbage_does_not_kill_session(app):
+    """A malformed mid-stream binary frame (undecodable msgpack) or a control
+    dict with garbage field types must be logged and skipped — the live
+    session keeps streaming (the reference similarly tolerates protocol
+    drift; a client bug must not tear down generation)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            async with client.ws_connect("/session/garb1") as ws:
+                await ws.receive_json(timeout=30)
+                await ws.send_bytes(packb({
+                    "prompt": "a cat", "width": 64, "height": 64, "seed": 1,
+                    "num_blocks": 2, "num_denoising_steps": 1,
+                    "kv_cache_num_frames": 3,
+                }))
+                # poison mid-stream: raw garbage, then a dict whose seed
+                # cannot int() — both previously escaped the receive loop
+                await ws.send_bytes(b"\xc1\xff\x00 not msgpack")
+                await ws.send_bytes(packb({"seed": "not-a-number"}))
+                frames = 0
+                completed = False
+                for _ in range(200):
+                    msg = await ws.receive(timeout=240)
+                    if msg.type == aiohttp.WSMsgType.BINARY:
+                        frames += 1
+                    elif msg.type == aiohttp.WSMsgType.TEXT:
+                        if msg.json().get("status") == "completed":
+                            completed = True
+                            break
+                    else:
+                        break
+                assert frames >= 18, f"stream died after garbage ({frames} frames)"
+                assert completed
+            assert (await client.get("/health")).status == 200
+        finally:
+            await client.close()
+
+    asyncio.run(run())
