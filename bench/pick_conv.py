@@ -58,6 +58,13 @@ def main() -> None:
                   f"{best_ms:.3f} ms (conv baseline {base[0]:.3f}, "
                   f"{base[0] / best_ms:.2f}x)")
             if form != "conv":
+                if form in ("im2col", "phase"):
+                    # sweep-only exploration arms; models/vae.py implements
+                    # conv/shifted/wcol/threeconv in production and silently
+                    # runs "conv" for unknown names — port the formulation
+                    # before adopting it
+                    print(f"    NOTE: {form} wins but is NOT a production "
+                          "formulation yet (implement in models/vae.py first)")
                 entries.append(f"{key}:{form}")
         if entries:
             print(f'  adopt: RTV_VAE_CONV="{",".join(entries)},default:conv"')
