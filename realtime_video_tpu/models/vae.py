@@ -123,7 +123,7 @@ def _spatial_conv(x, w, stride=(1, 1), padding="VALID", preferred=None):
     """One 2D conv, formulation-switchable. x [N,H,W,Ci], w [kh,kw,Ci,Co]."""
     kh, kw = w.shape[:2]
     variant = _variant_for(w.shape[3], w.shape[2])
-    if variant in ("shifted", "wcol") and kh == 3 and kw == 3 \
+    if variant in ("shifted", "wcol", "im2col") and kh == 3 and kw == 3 \
             and stride == (1, 1):
         if padding != "VALID":
             (ph0, ph1), (pw0, pw1) = padding
@@ -146,6 +146,18 @@ def _spatial_conv(x, w, stride=(1, 1), padding="VALID", preferred=None):
                 )
                 y = yi if y is None else y + yi
             return y
+        if variant == "im2col":
+            ci, co = w.shape[2], w.shape[3]
+            # full im2col: one matmul with K=9Ci at 9x input traffic (the
+            # sweep's hbm-bound control; adoptable in case the conv-engine
+            # relayout tax outweighs the traffic at some shape)
+            cols = jnp.concatenate(
+                [x[:, di : di + ho, dj : dj + wo, :]
+                 for di in range(3) for dj in range(3)], axis=-1
+            )
+            return jnp.einsum(
+                "thwc,co->thwo", cols, w.reshape(9 * ci, co), **kwargs
+            )
         y = None
         for di in range(3):
             for dj in range(3):

@@ -122,7 +122,7 @@ def test_fused_upsample_conv_int8_composes():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("variant", ["shifted", "wcol", "threeconv"])
+@_pytest.mark.parametrize("variant", ["shifted", "wcol", "im2col", "threeconv"])
 def test_conv_variant_matches_conv(params, monkeypatch, variant):
     """RTV_VAE_CONV formulations (shifted = 9 shift+einsum matmuls, no conv
     engine; threeconv = per-tap convs, no tap-concat) must be numerically
