@@ -21,7 +21,7 @@ echo $$ > /tmp/tpu_loop.pid
 HEALTHY_BOUNDARY="2026-08-16 23:40"   # last moment the service emitted good executables
 MIN_FPS="${SECURE_MIN_FPS:-8.0}"
 SLEEP_S="${SECURE_SLEEP_S:-900}"
-MAX_ATTEMPTS="${SECURE_MAX_ATTEMPTS:-24}"
+MAX_ATTEMPTS="${SECURE_MAX_ATTEMPTS:-40}"
 
 run_bench() {  # $1 = json out, $2 = log out, rest = env pairs
     local json="$1" log="$2"; shift 2
@@ -39,6 +39,18 @@ EOF
 attempt=0
 while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     attempt=$((attempt + 1))
+    # cheap pre-gate: a probe that hangs or reads SICK means the bench
+    # attempt would either block a big client for hours (hang mode) or
+    # compile degraded executables for sure. Probe HEALTHY is NOT sufficient
+    # (18:19 lesson) — the fused-fps gate below stays the real arbiter —
+    # but it is necessary, and a killed probe is a far smaller client to
+    # lose than a killed bench.
+    PROBE=$(timeout 600 python bench/compile_probe.py 2>/dev/null | tail -1)
+    echo "$(date -u +%H:%M:%S) attempt $attempt gate: ${PROBE:-hang/empty}"
+    if ! echo "${PROBE:-}" | grep -q HEALTHY; then
+        sleep "$SLEEP_S"
+        continue
+    fi
     # drop everything compiled after the healthy boundary: failed attempts,
     # probe programs, and any sick-window leftovers. The pre-boundary cache
     # (the 8.2-era programs) is never touched.
