@@ -105,6 +105,10 @@ _T1_TAPSKIP = os.getenv("RTV_VAE_T1_TAPSKIP", "1") in ("1", "true")
 _QCAT = os.getenv("RTV_VAE_QCAT", "1") in ("1", "true")
 
 
+_KNOWN_VARIANTS = {"conv", "shifted", "wcol", "im2col", "threeconv"}
+_WARNED_VARIANTS: set = set()
+
+
 def _variant_for(co: int, ci: Optional[int] = None) -> str:
     """Formulation for a conv with output channels co (and, when known,
     effective input channels ci — post tap-merge). Map keys, most specific
@@ -115,8 +119,20 @@ def _variant_for(co: int, ci: Optional[int] = None) -> str:
         return _CONV_VARIANT
     m = dict(kv.split(":", 1) for kv in _CONV_VARIANT.split(","))
     if ci is not None and f"{ci}x{co}" in m:
-        return m[f"{ci}x{co}"]
-    return m.get(str(co), m.get("default", "conv"))
+        variant = m[f"{ci}x{co}"]
+    else:
+        variant = m.get(str(co), m.get("default", "conv"))
+    if variant not in _KNOWN_VARIANTS and variant not in _WARNED_VARIANTS:
+        # a typo'd/unported name silently runs "conv" downstream — say so
+        _WARNED_VARIANTS.add(variant)
+        import warnings
+
+        warnings.warn(
+            f"RTV_VAE_CONV names unknown formulation {variant!r} "
+            f"(known: {sorted(_KNOWN_VARIANTS)}); the conv engine runs instead",
+            stacklevel=2,
+        )
+    return variant
 
 
 def _spatial_conv(x, w, stride=(1, 1), padding="VALID", preferred=None):
