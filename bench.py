@@ -115,10 +115,16 @@ def main() -> None:
             import threading as _th
 
             probe_out: dict = {}
+            probe_expired = _th.Event()
 
             def _probe():
                 af = _mm_fresh(a0, 100)
                 jax.device_get(af[0, :2])
+                if probe_expired.is_set():
+                    # the deadline passed while the compile hung: the main
+                    # thread is (or soon will be) inside the timed benchmark
+                    # — do NOT dispatch the timed matmul chain on top of it
+                    return
                 t0 = _t.perf_counter()
                 outf = _mm_fresh(af, 100)
                 jax.device_get(outf[0, :2])
@@ -129,6 +135,7 @@ def main() -> None:
             th = _th.Thread(target=_probe, daemon=True)
             th.start()
             th.join(float(os.getenv("RTV_BENCH_PROBE_DEADLINE_S", "900")))
+            probe_expired.set()
             tf_fresh = probe_out.get("tf", 0.0)  # 0.0 = hung past deadline
             print(f"health: fresh-compile {tf_fresh:.0f} TFLOP/s "
                   f"(cached {tf:.0f})"
@@ -174,25 +181,18 @@ def main() -> None:
         # params through numpy anyway, and the eager calibration forwards
         # would otherwise churn the (slow, sometimes sick) tunnel compile
         # service with dozens of tiny one-off programs
-        cpu0 = jax.devices("cpu")[0]
-        prev_pallas = os.environ.get("RTV_DISABLE_PALLAS")
-        os.environ["RTV_DISABLE_PALLAS"] = "1"
-        try:
-            with jax.default_device(cpu0):
-                gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16,
-                                   timestep_shift=5.0, fuse_qkv=True)
-                act_scales = None
-                if os.getenv("RTV_BENCH_INT8_DIT_STATIC", "1") in ("1", "true"):
-                    # calibrated static activation scales (mirrors the VAE's
-                    # +0.42 fps static-amax win): one eager float pass per
-                    # denoise timestep at small spatial dims, then no amax
-                    # pass at all at serving time
-                    act_scales = gen.calibrate_act_scales(steps)
-        finally:
-            if prev_pallas is None:
-                del os.environ["RTV_DISABLE_PALLAS"]
-            else:
-                os.environ["RTV_DISABLE_PALLAS"] = prev_pallas
+        from realtime_video_tpu.models.diffusion_wrapper import host_build_env
+
+        with host_build_env():
+            gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16,
+                               timestep_shift=5.0, fuse_qkv=True)
+            act_scales = None
+            if os.getenv("RTV_BENCH_INT8_DIT_STATIC", "1") in ("1", "true"):
+                # calibrated static activation scales (mirrors the VAE's
+                # +0.42 fps static-amax win): one eager float pass per
+                # denoise timestep at small spatial dims, then no amax
+                # pass at all at serving time
+                act_scales = gen.calibrate_act_scales(steps)
         gen.params = jax.device_put(
             wan_dit_mod.quantize_wan_linears(gen.params, act_scales=act_scales),
             dev,

@@ -48,12 +48,12 @@ def main() -> None:
         for truncated runs — channel counts differ mid-plan)."""
         io = vae_mod._CacheIO(cache)
         x = vae_mod.causal_conv3d(params["conv1"], x, io.get(), io)
-        x = vae_mod.residual_block(params["middle_res1"], x, io, first)
+        x = vae_mod.residual_block(params["middle_res1"], x, io)
         x = vae_mod.attention_block(params["middle_attn"], x)
-        x = vae_mod.residual_block(params["middle_res2"], x, io, first)
+        x = vae_mod.residual_block(params["middle_res2"], x, io)
         for spec, p in list(zip(full_plan, params["upsamples"]))[:n_stages]:
             if spec[0] == "res":
-                x = vae_mod.residual_block(p, x, io, first)
+                x = vae_mod.residual_block(p, x, io)
             else:
                 x = vae_mod.resample(p, spec[1], x, io, first)
         if n_stages == len(full_plan):

@@ -4,6 +4,7 @@ that returns (flow_pred, pred_x0) and owns the flow-matching schedule.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -16,6 +17,25 @@ from realtime_video_tpu.models.rope import RopeTables
 from realtime_video_tpu.scheduler import FlowMatchSchedule
 
 Params = Dict[str, Any]
+
+
+@contextlib.contextmanager
+def host_build_env():
+    """Build/calibrate int8 params HOST-side: CPU default device + Pallas
+    disabled. The int8 path round-trips params through numpy anyway, and
+    eager calibration forwards on the TPU would churn the remote compile
+    service with dozens of tiny one-off programs (bench.py and the serving
+    load path both calibrate under this)."""
+    prev_pallas = os.environ.get("RTV_DISABLE_PALLAS")
+    os.environ["RTV_DISABLE_PALLAS"] = "1"
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            yield
+    finally:
+        if prev_pallas is None:
+            del os.environ["RTV_DISABLE_PALLAS"]
+        else:
+            os.environ["RTV_DISABLE_PALLAS"] = prev_pallas
 
 
 class WanDiffusion:

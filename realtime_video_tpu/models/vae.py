@@ -116,12 +116,13 @@ def _variant_for(co: int, ci: Optional[int] = None) -> str:
     convs from the 3C-tapped decoder convs at the same Cout), then "CO",
     then "default"."""
     if ":" not in _CONV_VARIANT:
-        return _CONV_VARIANT
-    m = dict(kv.split(":", 1) for kv in _CONV_VARIANT.split(","))
-    if ci is not None and f"{ci}x{co}" in m:
-        variant = m[f"{ci}x{co}"]
+        variant = _CONV_VARIANT
     else:
-        variant = m.get(str(co), m.get("default", "conv"))
+        m = dict(kv.split(":", 1) for kv in _CONV_VARIANT.split(","))
+        if ci is not None and f"{ci}x{co}" in m:
+            variant = m[f"{ci}x{co}"]
+        else:
+            variant = m.get(str(co), m.get("default", "conv"))
     if variant not in _KNOWN_VARIANTS and variant not in _WARNED_VARIANTS:
         # a typo'd/unported name silently runs "conv" downstream — say so
         _WARNED_VARIANTS.add(variant)

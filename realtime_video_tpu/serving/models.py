@@ -42,54 +42,41 @@ def load_transformer(config) -> WanDiffusion:
     shift = config.get("timestep_shift", 5.0)
     int8_dit = bool(config.get("enable_int8_dit",
                                config.get("enable_int8", False)))
-    # int8 build + calibration run HOST-side (the int8 path round-trips
-    # params through numpy anyway, and eager calibration forwards on the TPU
-    # would churn the remote compile service with tiny one-off programs —
-    # bench.py does the same)
-    ctx = jax.default_device(jax.devices("cpu")[0]) if int8_dit \
-        else contextlib.nullcontext()
-    prev_pallas = os.environ.get("RTV_DISABLE_PALLAS")
-    if int8_dit:
-        os.environ["RTV_DISABLE_PALLAS"] = "1"
-    try:
-        with ctx:
-            if ckpt and os.path.exists(ckpt):
-                transformer = WanDiffusion(
-                    checkpoint_path=ckpt, timestep_shift=shift, is_causal=True,
-                    fuse_qkv=True,
-                )
-            else:
-                name = config.get("model_name", "t2v-1.3B")
-                log.warning("checkpoint %r missing — random-init %s", ckpt, name)
-                transformer = WanDiffusion(
-                    cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True,
-                    fuse_qkv=True,
-                )
-            act_scales = None
-            if int8_dit and config.get("int8_static_scales", True):
-                # calibrated STATIC activation scales (torchao static-quant
-                # analog, release_server.py:179-182)
-                import numpy as np
+    from realtime_video_tpu.models.diffusion_wrapper import host_build_env
 
-                from realtime_video_tpu.scheduler import (
-                    FlowMatchSchedule,
-                    get_denoising_schedule,
-                )
+    ctx = host_build_env() if int8_dit else contextlib.nullcontext()
+    with ctx:
+        if ckpt and os.path.exists(ckpt):
+            transformer = WanDiffusion(
+                checkpoint_path=ckpt, timestep_shift=shift, is_causal=True,
+                fuse_qkv=True,
+            )
+        else:
+            name = config.get("model_name", "t2v-1.3B")
+            log.warning("checkpoint %r missing — random-init %s", ckpt, name)
+            transformer = WanDiffusion(
+                cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True,
+                fuse_qkv=True,
+            )
+        act_scales = None
+        if int8_dit and config.get("int8_static_scales", True):
+            # calibrated STATIC activation scales (torchao static-quant
+            # analog, release_server.py:179-182)
+            import numpy as np
 
-                schedule = FlowMatchSchedule.create(
-                    shift=float(shift), sigma_min=0.0, extra_one_step=True
-                )
-                steps = tuple(float(t) for t in get_denoising_schedule(
-                    np.asarray(schedule.zero_padded_timesteps()), 1.0,
-                    int(config.get("num_denoising_steps", 5) or 5),
-                ))
-                act_scales = transformer.calibrate_act_scales(steps)
-    finally:
-        if int8_dit:
-            if prev_pallas is None:
-                del os.environ["RTV_DISABLE_PALLAS"]
-            else:
-                os.environ["RTV_DISABLE_PALLAS"] = prev_pallas
+            from realtime_video_tpu.scheduler import (
+                FlowMatchSchedule,
+                get_denoising_schedule,
+            )
+
+            schedule = FlowMatchSchedule.create(
+                shift=float(shift), sigma_min=0.0, extra_one_step=True
+            )
+            steps = tuple(float(t) for t in get_denoising_schedule(
+                np.asarray(schedule.zero_padded_timesteps()), 1.0,
+                int(config.get("num_denoising_steps", 5) or 5),
+            ))
+            act_scales = transformer.calibrate_act_scales(steps)
     if int8_dit:
         from realtime_video_tpu.models import wan_dit
 

@@ -286,10 +286,14 @@ async def ws_session(websocket: web.WebSocketResponse, id: str, config,
             if not isinstance(frame, dict):
                 log.warning("Received non-dict frame data")
                 continue
+            if frame.get("action") == "reset":
+                # NOT under the catch-all: if new_session() fails after
+                # dispose(), swallowing it would leave the loop serving a
+                # disposed session forever (silent zombie) — tear down and
+                # let the client reconnect instead
+                session.dispose()
+                session = new_session()
             try:
-                if frame.get("action") == "reset":
-                    session.dispose()
-                    session = new_session()
                 if frame.get("prompt", session.params.prompt) != session.params.prompt:
                     params.prompt = frame["prompt"]
                     try:

@@ -12,6 +12,7 @@ device->host transfer is started asynchronously before the JPEG pool runs.
 """
 from __future__ import annotations
 
+import copy
 import logging
 import queue
 import threading
@@ -89,6 +90,10 @@ def fused_block_step(
     Keyed on everything the trace depends on, so concurrent sessions with
     the same shape/schedule share one compiled executable and a new
     session's first block skips tracing entirely."""
+    # per-shift schedule on a shallow copy: mutating the SHARED gen.schedule
+    # here would leak this session's shift to every other consumer (and a
+    # cache hit would skip the mutation, baking whichever shift ran last)
+    gen = copy.copy(gen)
     gen.schedule = FlowMatchSchedule.create(
         shift=shift, sigma_min=0.0, extra_one_step=True
     )
@@ -126,6 +131,7 @@ def _prefill_fn_cached(gen, fsl: int, nfpb: int, num_ctx_frames: int):
 
 @lru_cache(maxsize=8)
 def _denoise_fn_cached(gen, shift: float, steps: Tuple[float, ...], max_attn: int):
+    gen = copy.copy(gen)  # never mutate the shared generator (see above)
     gen.schedule = FlowMatchSchedule.create(
         shift=shift, sigma_min=0.0, extra_one_step=True
     )
@@ -493,6 +499,17 @@ class GenerationSession:
             self.current_prompt_embeds = self.conditional_dict["prompt_embeds"]
             models.pipeline._initialize_crossattn_cache(self.current_prompt_embeds)
 
+        if (
+            idx > 0
+            and self.current_start_frame + self.num_frame_per_block
+            > self.all_latents.shape[1]
+        ):
+            # budget already exhausted: skip plan_block_context entirely —
+            # at idx>0 it would pay the anti-drift single-frame re-encode
+            # (~175 ms) just to have this block discarded (at idx==0 the
+            # start frame isn't final until plan consumes resume_latents,
+            # so the post-plan check below covers that case)
+            return None
         clean_context, model_input_start_frame = self.plan_block_context(models)
         assert model_input_start_frame is not None
         if (
