@@ -61,3 +61,17 @@ def test_graft_entry_jits():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().endswith("OK")
+
+
+def test_run_real_checkpoint_graceful_skip(tmp_path):
+    """scripts/run_real_checkpoint.py must exit 0 with a clear message when
+    the ~30 GB weight set is absent (the documented degrade path)."""
+    env = dict(os.environ, MODEL_FOLDER=str(tmp_path), PYTHONPATH=REPO,
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_real_checkpoint.py")],
+        env=env, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-500:])
+    blob = (out.stdout + out.stderr).lower()
+    assert "checkpoint" in blob or "weight" in blob
