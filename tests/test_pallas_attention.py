@@ -40,6 +40,30 @@ def test_prefill_block_causal_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
+def test_prefill_partial_block_local_window_matches_xla():
+    """Trailing PARTIAL block + local window (the independent_first_frame /
+    non-multiple context shape): the window start must use the UNCLAMPED
+    block end so it cannot slide down and admit evicted keys (reference
+    get_block_mask semantics, causal_model.py:108-141). For the last partial
+    block here ends=576 > L=448 and window start = 448 — only the diagonal
+    survives; a kv_len-clamped ends would re-admit keys from 320."""
+    b, n, d = 1, 2, 128
+    frame_seqlen, nfpb, frames = 64, 3, 7  # 7 % 3 != 0 -> partial last block
+    local_frames = 2                       # window (128) < block span (192)
+    L = frames * frame_seqlen
+    q, k, v = _rand((b, L, n, d), 30), _rand((b, L, n, d), 31), _rand((b, L, n, d), 32)
+    mask = attn_ops.blockwise_causal_mask(
+        frames, frame_seqlen, nfpb, local_attn_size=local_frames
+    )[None, None]
+    want = attn_ops.xla_attention(q, k, v, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = pat.prefill_attention(
+            q, k, v, block_tokens=frame_seqlen * nfpb,
+            local_window=local_frames * frame_seqlen,
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
 def test_unpadded_1560_token_frames():
     """Real serving shapes are not 128-aligned (fsl=1560) — padding must not
     leak into the softmax."""
