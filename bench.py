@@ -32,7 +32,10 @@ def main() -> None:
         "jax_compilation_cache_dir",
         os.path.expanduser(os.getenv("RTV_JAX_CACHE_DIR", "~/.rtv_jax_cache")),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERY program incl. sub-1s eager ops: in the service's hang mode
+    # each uncached tiny compile can block for minutes-hours, so a secured
+    # cache must cover the whole process, not just the big model programs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from realtime_video_tpu.config import (

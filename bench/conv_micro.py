@@ -67,7 +67,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtv_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     enc_t1 = args.shape.startswith("enc")
     C, H, W, T = SHAPES[args.shape]

@@ -7,6 +7,10 @@ The sweep measures decoder res-block convs (tap-merged, ci=3C) at shapes
 _variant_for), so decoder and encoder winners at the same Cout don't collide.
 
 Usage: python bench/pick_conv.py /tmp/conv_sweep.log
+       python bench/pick_conv.py /tmp/conv_sweep.log --map
+           # emit ONLY the int8-tier (serving) RTV_VAE_CONV map value with
+           # production formulations, or nothing if conv wins everywhere —
+           # consumed by run_conv_sweep.sh to drive the fused-bench A/B
 """
 from __future__ import annotations
 
@@ -28,8 +32,13 @@ VARIANTS = {
 LINE = re.compile(r"^(enc)?(\d+)ch (\w+): ([0-9.]+) ms/conv")
 
 
+PRODUCTION_FORMS = ("conv", "shifted", "wcol", "threeconv")
+
+
 def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/conv_sweep.log"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    map_only = "--map" in sys.argv
+    path = args[0] if args else "/tmp/conv_sweep.log"
     results: dict = {}  # (enc, C, int8) -> list[(ms, formulation, label)]
     for line in open(path):
         m = LINE.match(line.strip())
@@ -42,7 +51,28 @@ def main() -> None:
         results.setdefault((enc, c, int8), []).append((ms, form, label))
 
     if not results:
-        print(f"no sweep lines in {path}")
+        if not map_only:
+            print(f"no sweep lines in {path}")
+        return
+    if map_only:
+        # serving tier = int8; only formulations models/vae.py implements
+        # (a non-production name would silently run as "conv" — measuring
+        # nothing). >2% standalone win required to bother the fused bench.
+        entries = []
+        for (enc, c, int8), arms in sorted(results.items()):
+            if not int8:
+                continue
+            arms.sort()
+            prod = [a for a in arms if a[1] in PRODUCTION_FORMS]
+            if not prod:
+                continue
+            best_ms, form, _ = prod[0]
+            base = next((a for a in prod if a[1] == "conv"), None)
+            if form != "conv" and base is not None and best_ms < 0.98 * base[0]:
+                key = f"{c}x{c}" if enc else f"{3 * c}x{c}"
+                entries.append(f"{key}:{form}")
+        if entries:
+            print(",".join(entries) + ",default:conv")
         return
     for tier in (True, False):
         entries = []

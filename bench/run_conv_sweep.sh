@@ -38,4 +38,23 @@ done
 for shape in enc96 enc192 enc384; do
     for v in conv shifted wcol; do run_arm "$shape" "$v"; done
 done
+echo "== pick ==" | tee -a "$LOG"
+python bench/pick_conv.py "$LOG" | tee -a "$LOG"
+
+# the arbiter: standalone wins don't decide defaults (CLAUDE.md measurement
+# rules) — if the int8 serving tier picked a non-conv production formulation,
+# run the FUSED bench with that map in the SAME healthy window so (a) the
+# number is trustworthy and (b) the winning programs land in the persistent
+# cache, making later default-flips cache hits.
+MAP=$(python bench/pick_conv.py "$LOG" --map)
+if [ -n "$MAP" ]; then
+    echo "== fused A/B: RTV_VAE_CONV=$MAP ==" | tee -a "$LOG"
+    RTV_VAE_CONV="$MAP" RTV_BENCH_HEALTH_WAIT_S=120 timeout 7200 \
+        python bench.py > /tmp/bench_convmap.json 2> /tmp/bench_convmap.log
+    echo "fused conv-map bench: $(cat /tmp/bench_convmap.json 2>/dev/null)" | tee -a "$LOG"
+    echo "  (compare to /tmp/bench_secure.json; adopt by making this map the"
+    echo "   RTV_VAE_CONV default if it wins — the programs are now cached)"
+else
+    echo "pick: default conv wins the int8 tier everywhere (no fused A/B)" | tee -a "$LOG"
+fi
 echo "sweep done: $LOG"

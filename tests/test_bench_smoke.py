@@ -40,7 +40,10 @@ def test_bench_tiny_cpu_emits_metric_json(tmp_path):
     assert rec["unit"] == "fps" and rec["value"] > 0
     assert "t2v_fps" in rec["metric"] and "tiny" in rec["metric"]
     assert rec["ttff_ms"] > 0
-    assert 0 < rec["vs_baseline"] == round(rec["value"] / 11.0, 4)
+    # vs_baseline comes from the UNROUNDED fps; recomputing from the rounded
+    # value can differ in the last digit, so compare with tolerance
+    assert rec["vs_baseline"] > 0
+    assert abs(rec["vs_baseline"] - rec["value"] / 11.0) < 1e-3
 
 
 def test_graft_entry_jits():
