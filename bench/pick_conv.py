@@ -32,7 +32,7 @@ VARIANTS = {
 LINE = re.compile(r"^(enc)?(\d+)ch (\w+): ([0-9.]+) ms/conv")
 
 
-PRODUCTION_FORMS = ("conv", "shifted", "wcol", "threeconv")
+PRODUCTION_FORMS = ("conv", "shifted", "wcol", "threeconv", "im2col")
 
 
 def main() -> None:
@@ -88,11 +88,9 @@ def main() -> None:
                   f"{best_ms:.3f} ms (conv baseline {base[0]:.3f}, "
                   f"{base[0] / best_ms:.2f}x)")
             if form != "conv":
-                if form in ("im2col", "phase"):
-                    # sweep-only exploration arms; models/vae.py implements
-                    # conv/shifted/wcol/threeconv in production and silently
-                    # runs "conv" for unknown names — port the formulation
-                    # before adopting it
+                if form not in PRODUCTION_FORMS:
+                    # sweep-only exploration arm; models/vae.py silently runs
+                    # "conv" for unknown names — port the formulation first
                     print(f"    NOTE: {form} wins but is NOT a production "
                           "formulation yet (implement in models/vae.py first)")
                 entries.append(f"{key}:{form}")
