@@ -53,7 +53,7 @@ def main() -> None:
     p.add_argument("--variant", default="conv",
                    choices=["conv", "shifted", "wcol", "hcol", "im2col",
                             "phase", "int8", "int8shifted", "int8wcol",
-                            "threeconv", "matmul", "conv1x1",
+                            "int8phase", "threeconv", "matmul", "conv1x1",
                             "copy", "bigmm"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--check", action="store_true",
@@ -291,51 +291,30 @@ def main() -> None:
                 [xin[:, di : di + H, dj : dj + W, :]
                  for di in range(3) for dj in range(3)], axis=-1)
             return jnp.einsum("thwc,co->thwo", cols, wm) + b
-    else:  # phase
-        # per-phase 2x2 packed convs. Packed input: [T, H/2, W/2, 4ci] with
-        # phase-major channels. Output phase (py,px) reads packed rows
-        # i-1+py..i+py, cols j-1+px..j+px — realised by slicing a 1-padded
-        # packed input. Kernel per phase: [2, 2, 4ci, C] with the true 3x3
-        # taps embedded (structural zeros elsewhere).
-        import numpy as np
+    elif args.variant == "phase":
+        # the PRODUCTION phase formulation (models/vae.py _phase_conv):
+        # per-phase 2x2 packed convs on a 2x2 space-to-depth input
+        from realtime_video_tpu.models.vae import _phase_conv
 
-        kn = np.asarray(kw_, np.float32)
-        kws = {}
-        for py in (0, 1):
-            for px in (0, 1):
-                k4 = np.zeros((2, 2, 4 * ci, C), np.float32)
-                for ky in range(3):
-                    for kx in range(3):
-                        ry, rx = py + ky - 1, px + kx - 1  # real input offset
-                        # real offset ry lives in packed-row offset floor(ry/2)
-                        # with phase ry%2; the 2x2 window for phase (py,px)
-                        # starts at packed offset py-1, so kernel row index is
-                        # floor(ry/2) - (py - 1)
-                        pr, fr = (ry + 2) // 2 - 1, (ry + 2) % 2  # floor/mod
-                        pc, fc = (rx + 2) // 2 - 1, (rx + 2) % 2
-                        kr, kc = pr + 1 - py, pc + 1 - px
-                        k4[kr, kc, (fr * 2 + fc) * ci : (fr * 2 + fc + 1) * ci, :] = kn[ky, kx]
-                kws[(py, px)] = jnp.asarray(k4, jnp.bfloat16)
+        def conv(x):
+            return _phase_conv(taps(x), kw_) + b
+    else:  # int8phase
+        # the int8 tier through the production phase formulation
+        # (RTV_VAE_CONV=phase on the production int8 path)
+        from realtime_video_tpu.models.vae import _phase_conv
+
+        wq_ = jnp.clip(jnp.round(kw_.astype(jnp.float32) / 2e-4), -127, 127
+                       ).astype(jnp.int8)
+        scale = jnp.full((C,), 2e-4, jnp.float32)
 
         def conv(x):
             xin = taps(x)
-            # space-to-depth 2x2, phase-major channels: [T, H/2, W/2, 4ci]
-            t, h, w, c = xin.shape
-            xr = xin.reshape(t, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-            xp = xr.reshape(t, h // 2, w // 2, 4 * c)
-            xp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            outs = {}
-            for (py, px), k4 in kws.items():
-                base_r = (py + 1) // 2  # slice start so 2x2 kernel covers the
-                base_c = (px + 1) // 2  # right packed rows (see kernel build)
-                v = xp[:, base_r : base_r + h // 2 + 1, base_c : base_c + w // 2 + 1, :]
-                outs[(py, px)] = jax.lax.conv_general_dilated(
-                    v, k4, (1, 1), "VALID",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            # depth-to-space back to [T, H, W, C]
-            y = jnp.stack([outs[(0, 0)], outs[(0, 1)], outs[(1, 0)], outs[(1, 1)]], axis=3)
-            y = y.reshape(t, h // 2, w // 2, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
-            return y.reshape(t, h, w, C) + b
+            amax = jnp.maximum(jnp.max(jnp.abs(xin.astype(jnp.float32))), 1e-6)
+            a_scale = amax / 127.0
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a_scale),
+                          -127, 127).astype(jnp.int8)
+            yq = _phase_conv(xq, wq_, preferred=jnp.int32)
+            return (yq.astype(jnp.float32) * (a_scale * scale) + b).astype(x.dtype)
     label = args.variant
 
     if args.check:

@@ -28,11 +28,12 @@ VARIANTS = {
     "int8": (True, "conv"),
     "int8shifted": (True, "shifted"),
     "int8wcol": (True, "wcol"),
+    "int8phase": (True, "phase"),
 }
 LINE = re.compile(r"^(enc)?(\d+)ch (\w+): ([0-9.]+) ms/conv")
 
 
-PRODUCTION_FORMS = ("conv", "shifted", "wcol", "threeconv", "im2col")
+PRODUCTION_FORMS = ("conv", "shifted", "wcol", "threeconv", "im2col", "phase")
 
 
 def main() -> None:

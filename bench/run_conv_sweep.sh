@@ -27,10 +27,10 @@ run_arm() {
 # is ~2/3 of decode FLOPs, so: int8 arms at every shape, then enc int8 arms,
 # then the bf16/exploratory arms.
 for shape in 96 192 384; do
-    for v in int8 int8shifted int8wcol; do run_arm "$shape" "$v"; done
+    for v in int8 int8shifted int8wcol int8phase; do run_arm "$shape" "$v"; done
 done
 for shape in enc96 enc192 enc384; do
-    for v in int8 int8shifted int8wcol; do run_arm "$shape" "$v"; done
+    for v in int8 int8shifted int8wcol int8phase; do run_arm "$shape" "$v"; done
 done
 for shape in 96 192 384; do
     for v in conv threeconv shifted wcol im2col phase; do run_arm "$shape" "$v"; done

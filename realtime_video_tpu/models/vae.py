@@ -105,7 +105,7 @@ _T1_TAPSKIP = os.getenv("RTV_VAE_T1_TAPSKIP", "1") in ("1", "true")
 _QCAT = os.getenv("RTV_VAE_QCAT", "1") in ("1", "true")
 
 
-_KNOWN_VARIANTS = {"conv", "shifted", "wcol", "im2col", "threeconv"}
+_KNOWN_VARIANTS = {"conv", "shifted", "wcol", "im2col", "threeconv", "phase"}
 _WARNED_VARIANTS: set = set()
 
 
@@ -136,10 +136,56 @@ def _variant_for(co: int, ci: Optional[int] = None) -> str:
     return variant
 
 
+def _phase_conv(x, w, preferred=None):
+    """2x2 space-to-depth phase decomposition of a SAME-padded 3x3 conv.
+
+    Pack x [T,H,W,Ci] -> [T,H/2,W/2,4Ci] (phase-major channels); each output
+    phase (py,px) is one VALID 2x2 conv over a shifted slice of the 1-padded
+    packed tensor, with a [2,2,4Ci,Co] kernel embedding the true 3x3 taps
+    (structural zeros elsewhere). 4x wider channels at 4/9 the taps — a
+    different point in the conv engine's layout space than the plain 3x3
+    (sweep arm 'phase', bench/conv_micro.py). Exact for even H, W; int8-safe
+    (zeros quantise exactly, the conv is linear)."""
+    t, h, wd, ci = x.shape
+    co = w.shape[3]
+    kwargs = {} if preferred is None else {"preferred_element_type": preferred}
+    xr = x.reshape(t, h // 2, 2, wd // 2, 2, ci).transpose(0, 1, 3, 2, 4, 5)
+    xp = xr.reshape(t, h // 2, wd // 2, 4 * ci)
+    xp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    outs = []
+    for py in (0, 1):
+        for px in (0, 1):
+            k4 = jnp.zeros((2, 2, 4 * ci, co), w.dtype)
+            for ky in range(3):
+                for kx in range(3):
+                    ry, rx = py + ky - 1, px + kx - 1  # real input offset
+                    # offset ry lives in packed row floor(ry/2), phase ry%2;
+                    # the 2x2 window for output phase (py,px) starts at packed
+                    # offset py-1, so the kernel row is floor(ry/2)-(py-1)
+                    pr, fr = (ry + 2) // 2 - 1, (ry + 2) % 2
+                    pc, fc = (rx + 2) // 2 - 1, (rx + 2) % 2
+                    kr, kc = pr + 1 - py, pc + 1 - px
+                    blk = (fr * 2 + fc) * ci
+                    k4 = k4.at[kr, kc, blk : blk + ci, :].set(w[ky, kx])
+            br, bc = (py + 1) // 2, (px + 1) // 2
+            v = xp[:, br : br + h // 2 + 1, bc : bc + wd // 2 + 1, :]
+            outs.append(jax.lax.conv_general_dilated(
+                v, k4, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs))
+    y = jnp.stack(outs, axis=3)  # [T, H/2, W/2, 4, Co], phase-major
+    y = y.reshape(t, h // 2, wd // 2, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(t, h, wd, co)
+
+
 def _spatial_conv(x, w, stride=(1, 1), padding="VALID", preferred=None):
     """One 2D conv, formulation-switchable. x [N,H,W,Ci], w [kh,kw,Ci,Co]."""
     kh, kw = w.shape[:2]
     variant = _variant_for(w.shape[3], w.shape[2])
+    if variant == "phase" and kh == 3 and kw == 3 and stride == (1, 1) \
+            and padding != "VALID" \
+            and tuple(map(tuple, padding)) == ((1, 1), (1, 1)) \
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        return _phase_conv(x, w, preferred)
     if variant in ("shifted", "wcol", "im2col") and kh == 3 and kw == 3 \
             and stride == (1, 1):
         if padding != "VALID":

@@ -122,7 +122,7 @@ def test_fused_upsample_conv_int8_composes():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("variant", ["shifted", "wcol", "im2col", "threeconv"])
+@_pytest.mark.parametrize("variant", ["shifted", "wcol", "im2col", "threeconv", "phase"])
 def test_conv_variant_matches_conv(params, monkeypatch, variant):
     """RTV_VAE_CONV formulations (shifted = 9 shift+einsum matmuls, no conv
     engine; threeconv = per-tap convs, no tap-concat) must be numerically
@@ -173,7 +173,7 @@ def test_conv_variant_per_width_map(params, monkeypatch):
     np.testing.assert_allclose(np.asarray(ref1), np.asarray(want1), rtol=2e-4, atol=2e-4)
 
 
-@_pytest.mark.parametrize("variant", ["shifted", "wcol"])
+@_pytest.mark.parametrize("variant", ["shifted", "wcol", "phase"])
 def test_shifted_conv_variant_matches_conv_int8(params, monkeypatch, variant):
     """The int8 tier under the matmul formulations: identical quantised math
     (same a_scale decisions), so outputs must match the int8 conv path."""
