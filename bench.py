@@ -145,13 +145,26 @@ def main() -> None:
                   + (" [probe timed out]" if th.is_alive() else ""),
                   file=sys.stderr)
             if tf_fresh < 0.7 * tf:
-                if "RTV_VAE_T1_TAPSKIP" not in os.environ:
-                    vae_mod._T1_TAPSKIP = False
-                if "RTV_VAE_QCAT" not in os.environ:
-                    vae_mod._QCAT = False
-                print("health: compile service POISONED — disabling T=1 "
-                      "tap-skip and quantize-before-concat so the VAE "
-                      "reuses the cached programs", file=sys.stderr)
+                # prefer whichever trace-set is KNOWN cached (markers written
+                # by bench/secure_number_loop.sh). Flipping to the no-tapskip
+                # variant is only right when that variant is the cached one;
+                # with the default programs secured, keeping them means ZERO
+                # fresh model compiles — flipping would force uncached
+                # variant compiles in exactly the window where fresh compiles
+                # are degraded (or, in hang mode, block indefinitely).
+                markers = os.path.expanduser("~/.rtv_jax_cache_markers")
+                if os.path.exists(os.path.join(markers, "default")):
+                    print("health: compile service POISONED, but the "
+                          "default-env programs are cache-secured — "
+                          "keeping them", file=sys.stderr)
+                else:
+                    if "RTV_VAE_T1_TAPSKIP" not in os.environ:
+                        vae_mod._T1_TAPSKIP = False
+                    if "RTV_VAE_QCAT" not in os.environ:
+                        vae_mod._QCAT = False
+                    print("health: compile service POISONED — disabling T=1 "
+                          "tap-skip and quantize-before-concat so the VAE "
+                          "reuses the cached programs", file=sys.stderr)
 
     if tiny:
         cfg = WanModelConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2)

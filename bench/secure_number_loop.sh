@@ -22,6 +22,12 @@ HEALTHY_BOUNDARY="2026-08-16 23:40"   # last moment the service emitted good exe
 MIN_FPS="${SECURE_MIN_FPS:-8.0}"
 SLEEP_S="${SECURE_SLEEP_S:-900}"
 MAX_ATTEMPTS="${SECURE_MAX_ATTEMPTS:-40}"
+# marker dir telling bench.py which trace-sets the cache actually holds
+# (bench's poisoning fallback must flip to the no-tapskip variant ONLY when
+# that variant is the cached one — flipping onto uncached traces in a
+# hang-mode window would block its first fresh compile indefinitely)
+MARKERS="$HOME/.rtv_jax_cache_markers"
+mkdir -p "$MARKERS"
 
 run_bench() {  # $1 = json out, $2 = log out, rest = env pairs
     local json="$1" log="$2"; shift 2
@@ -58,8 +64,10 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     # entries are dropped so the secured ones survive retries.
     if [ "${DEFAULT_SECURED:-0}" = "1" ]; then
         find ~/.rtv_jax_cache -type f -newer /tmp/secure_variant_start -delete 2>/dev/null
+        rm -f "$MARKERS/variant"
     else
         find ~/.rtv_jax_cache -type f -newermt "$HEALTHY_BOUNDARY" -delete 2>/dev/null
+        rm -f "$MARKERS/default" "$MARKERS/variant"
     fi
     touch /tmp/secure_attempt_start
 
@@ -97,6 +105,7 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     fi
     DEFAULT_SECURED=1
     SECURED_FPS="$FPS"
+    touch "$MARKERS/default"
     fi  # DEFAULT_SECURED
 
     echo "  GOOD WINDOW — caching the fallback-variant traces too"
@@ -112,6 +121,7 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
         continue
     fi
 
+    touch "$MARKERS/variant"
     echo "SECURED: default=${SECURED_FPS:-$FPS2} variant=$FPS2 — cache holds healthy current-HEAD programs"
     rm -f /tmp/tpu_loop.pid
     echo "SECURE DONE"
@@ -124,6 +134,9 @@ elif [ -d /tmp/secure_best_cache ]; then
     echo "restoring best-so-far cache ($(cat /tmp/secure_best_fps 2>/dev/null) fps)"
     rm -rf ~/.rtv_jax_cache
     mv /tmp/secure_best_cache ~/.rtv_jax_cache
+    # even slow-window default programs beat hang-mode fresh compiles —
+    # tell bench's fallback the default traces are the cached ones
+    touch "$MARKERS/default"
 fi
 rm -f /tmp/tpu_loop.pid
 echo "SECURE DONE"
