@@ -53,16 +53,33 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     # lose than a killed bench.
     PROBE=$(timeout 600 python bench/compile_probe.py 2>/dev/null | tail -1)
     echo "$(date -u +%H:%M:%S) attempt $attempt gate: ${PROBE:-hang/empty}"
+    SEED=0
     if ! echo "${PROBE:-}" | grep -q HEALTHY; then
-        sleep "$SLEEP_S"
-        continue
+        # SEED pass (empty-cache insurance): when the probe RETURNED (no
+        # hang) but reads SICK, and nothing is secured/archived yet, run one
+        # bench anyway — degraded executables in the cache beat leaving the
+        # driver's end-of-round bench to pay sick fresh compiles cold. The
+        # result is archived best-so-far; a later healthy window replaces it.
+        if [ -n "${PROBE:-}" ] && [ ! -e "$MARKERS/default" ] && \
+           [ ! -e /tmp/secure_seeded ] && [ ! -d /tmp/secure_best_cache ]; then
+            echo "$(date -u +%H:%M:%S) attempt $attempt: SICK but no cache yet — seeding"
+            SEED=1
+            touch /tmp/secure_seeded
+        else
+            sleep "$SLEEP_S"
+            continue
+        fi
     fi
     # drop everything compiled after the healthy boundary: failed attempts,
     # probe programs, and any sick-window leftovers. The pre-boundary cache
     # (the 8.2-era programs) is never touched — and once the default-env
     # programs are secured (variant still pending), only post-variant
     # entries are dropped so the secured ones survive retries.
-    if [ "${DEFAULT_SECURED:-0}" = "1" ]; then
+    # (Seed passes skip the purge: partial sick-window entries still save
+    # recompiles, and there is nothing healthy to protect yet.)
+    if [ "$SEED" = "1" ]; then
+        :
+    elif [ "${DEFAULT_SECURED:-0}" = "1" ]; then
         find ~/.rtv_jax_cache -type f -newer /tmp/secure_variant_start -delete 2>/dev/null
         rm -f "$MARKERS/variant"
     else
@@ -97,8 +114,21 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
                 echo "$KEEP" > /tmp/secure_best_fps
                 echo "  archived as best-so-far ($KEEP fps)"
             fi
-            echo "  below $MIN_FPS twice — purging this attempt's executables, sleeping $SLEEP_S"
-            find ~/.rtv_jax_cache -type f -newer /tmp/secure_attempt_start -delete 2>/dev/null
+            # leave the LIVE cache holding the best attempt so far (hardlink
+            # restore, cheap): if the round ends mid-loop, the driver's bench
+            # must hit cached programs, not an empty dir. The /tmp archive
+            # keeps its links, so the next healthy attempt's purge is safe.
+            # With no archive at all (bench died before producing a number),
+            # keep this attempt's partial compiles — they still save the next
+            # client recompiles.
+            if [ -d /tmp/secure_best_cache ]; then
+                echo "  below $MIN_FPS twice — reverting live cache to best-so-far ($(cat /tmp/secure_best_fps 2>/dev/null) fps)"
+                find ~/.rtv_jax_cache -type f -newer /tmp/secure_attempt_start -delete 2>/dev/null
+                cp -al /tmp/secure_best_cache/. ~/.rtv_jax_cache/ 2>/dev/null
+                touch "$MARKERS/default"
+            else
+                echo "  below $MIN_FPS twice and nothing archived — keeping partial compiles"
+            fi
             sleep "$SLEEP_S"
             continue
         fi
