@@ -301,6 +301,15 @@ def main() -> None:
 
     step_fn = jax.jit(block_step, donate_argnums=(1,))
 
+    # block-0 variant for TTFF: the serving session's FIRST block has an
+    # empty context queue (t2v), so there is no prefill — just reset +
+    # denoise at position 0 (session.py _block_step_fn_cached num_ctx=0;
+    # reference: release_server.py first block conditions on nothing)
+    def block0_step(params, kv, cross, noisy, rng):
+        return denoise(params, kvc.reset_kv_cache(kv), cross, noisy, 0, rng)
+
+    step0_fn = jax.jit(block0_step, donate_argnums=(1,))
+
     rng = jax.random.PRNGKey(0)
     noise = jax.random.normal(
         jax.random.PRNGKey(3), (1, nfpb, 16, lat_h, lat_w), jnp.bfloat16
@@ -317,6 +326,11 @@ def main() -> None:
     px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
     px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16), vcache)
     jax.device_get(px[0, -1, :2, :2])
+    # warm the block-0 (no-prefill) program too, so the TTFF measurement
+    # below times execution, not compilation (the reference precompiles at
+    # server start, release_server.py:753-755)
+    x0b0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
+    jax.device_get(x0b0[0, 0, 0, 0, :2])
 
     if on_tpu:
         # the hot attention entry must have traced onto the Pallas kernel
@@ -379,14 +393,14 @@ def main() -> None:
     fps = frames_out / dt
 
     # TTFF (BASELINE.md north star #2: p50 < 1.5 s): warm-server first-frame
-    # latency — one block-0 step (no re-encode; the session skips it pre-
-    # warmup) + streamed decode of the FIRST latent only + host readback.
-    # Inputs have evolved past the warmup pair, so the dispatch-dedupe cannot
-    # fake this (CLAUDE.md measurement rules).
+    # latency — one block-0 step (no context prefill and no re-encode: the
+    # session's first block has an EMPTY context queue for t2v, so it only
+    # resets the KV cache and denoises at position 0) + streamed decode of
+    # the FIRST latent only + host readback. Inputs have evolved past the
+    # warmup pair, so the dispatch-dedupe cannot fake this (CLAUDE.md
+    # measurement rules).
     t0 = time.perf_counter()
-    x0, kv, rng = step_fn(
-        gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
-    )
+    x0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
     px1, _ = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
     jax.device_get(px1[0, -1, :, ::64, ::64])
     ttff_ms = (time.perf_counter() - t0) * 1e3

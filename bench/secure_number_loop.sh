@@ -55,16 +55,17 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     echo "$(date -u +%H:%M:%S) attempt $attempt gate: ${PROBE:-hang/empty}"
     SEED=0
     if ! echo "${PROBE:-}" | grep -q HEALTHY; then
-        # SEED pass (empty-cache insurance): when the probe RETURNED (no
-        # hang) but reads SICK, and nothing is secured/archived yet, run one
-        # bench anyway — degraded executables in the cache beat leaving the
-        # driver's end-of-round bench to pay sick fresh compiles cold. The
-        # result is archived best-so-far; a later healthy window replaces it.
-        if [ -n "${PROBE:-}" ] && [ ! -e "$MARKERS/default" ] && \
+        # SEED pass (empty-cache insurance): when the probe RETURNED with an
+        # explicit SICK verdict (a crashed/partial probe proves nothing, and
+        # a hang means a bench would block for hours), and nothing is
+        # secured/archived yet, run one bench anyway — degraded executables
+        # in the cache beat leaving the driver's end-of-round bench to pay
+        # sick fresh compiles cold. The result is archived best-so-far; a
+        # later healthy window replaces it.
+        if echo "${PROBE:-}" | grep -q SICK && [ ! -e "$MARKERS/default" ] && \
            [ ! -e /tmp/secure_seeded ] && [ ! -d /tmp/secure_best_cache ]; then
             echo "$(date -u +%H:%M:%S) attempt $attempt: SICK but no cache yet — seeding"
             SEED=1
-            touch /tmp/secure_seeded
         else
             sleep "$SLEEP_S"
             continue
@@ -93,6 +94,12 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     FPS=$(run_bench /tmp/bench_secure.json /tmp/bench_secure.log \
         RTV_BENCH_HEALTH_WAIT_S=120)
     echo "$(date -u +%H:%M:%S) attempt $attempt: default-env fps=$FPS"
+    if [ "$SEED" = "1" ] && \
+       python -c "import sys; sys.exit(0 if float('${FPS:-0}' or 0) > 0 else 1)"; then
+        # consume the one-shot seed only now that the seeded bench actually
+        # produced a number (a dead seed attempt may retry in a later window)
+        touch /tmp/secure_seeded
+    fi
     if ! python -c "import sys; sys.exit(0 if float('${FPS:-0}' or 0) >= $MIN_FPS else 1)"; then
         # the slowness may be TRANSIENT execution sickness, not degraded
         # executables — re-measure once on the just-cached programs (cheap,
@@ -124,8 +131,14 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
             if [ -d /tmp/secure_best_cache ]; then
                 echo "  below $MIN_FPS twice — reverting live cache to best-so-far ($(cat /tmp/secure_best_fps 2>/dev/null) fps)"
                 find ~/.rtv_jax_cache -type f -newer /tmp/secure_attempt_start -delete 2>/dev/null
-                cp -al /tmp/secure_best_cache/. ~/.rtv_jax_cache/ 2>/dev/null
-                touch "$MARKERS/default"
+                # gate the marker on the restore actually succeeding: a
+                # failed cp would leave the cache purged while the marker
+                # claims the default traces are present (ADVICE r3)
+                if cp -al /tmp/secure_best_cache/. ~/.rtv_jax_cache/; then
+                    touch "$MARKERS/default"
+                else
+                    echo "  WARNING: best-so-far restore FAILED — cache is purged, no marker"
+                fi
             else
                 echo "  below $MIN_FPS twice and nothing archived — keeping partial compiles"
             fi
