@@ -26,6 +26,10 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "")
+# capture the caller's platform choice NOW: the axon TPU plugin stomps
+# JAX_PLATFORMS during jax import, so an env var alone does not stick
+# (CLAUDE.md) — it must be re-applied via jax.config.update after import
+_WANT_PLATFORM = os.environ["JAX_PLATFORMS"]
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -70,6 +74,11 @@ def main() -> int:
             print(f"  missing: {p or '<no DiT safetensors under MODEL_FOLDER>'}")
         print(f"(MODEL_FOLDER={MODEL_FOLDER}; see module docstring for layout)")
         return 0
+
+    import jax
+
+    if _WANT_PLATFORM:
+        jax.config.update("jax_platforms", _WANT_PLATFORM)
 
     import numpy as np
 
