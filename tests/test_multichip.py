@@ -92,9 +92,13 @@ def test_sharded_training_step_with_ema():
     assert jax.tree_util.tree_leaves(ema)[0].sharding == jax.tree_util.tree_leaves(params)[0].sharding
 
 
-def test_graft_entry_dryrun():
+def test_graft_entry_dryrun(monkeypatch):
     import __graft_entry__
 
+    # the heavy tail phases (bf16 subprocess rehearsal + full-depth 14B:
+    # 56 GB params, minutes of single-core matmul) are for the driver's
+    # dryrun, not the unit suite
+    monkeypatch.setenv("RTV_DRYRUN_FULL14B", "0")
     __graft_entry__.dryrun_multichip(8)
 
 
