@@ -318,19 +318,101 @@ def main() -> None:
         jax.random.PRNGKey(4), (1, kv_frames - nfpb, 16, lat_h, lat_w), jnp.bfloat16
     )
 
-    # warmup / compile the fused step + BOTH vae variants (first + streaming).
-    # Decode per latent frame — the serving session's streamed-decode path.
-    x0, kv, rng = step_fn(
-        gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
+    # anti-drift first-frame re-encode: the serving session re-encodes the
+    # oldest cached pixel frame through the VAE encoder every post-warmup
+    # block (session.py get_clean_context_frames / release_server.py:573-575).
+    # Round 1 omitted this cost; include it so the bench is the true hot path.
+    reencode = (
+        os.getenv("RTV_BENCH_REENCODE", "1") in ("1", "true")
+        and not tiny and not use_taehv
     )
-    px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
-    px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16), vcache)
-    jax.device_get(px[0, -1, :2, :2])
-    # warm the block-0 (no-prefill) program too, so the TTFF measurement
-    # below times execution, not compilation (the reference precompiles at
-    # server start, release_server.py:753-755)
-    x0b0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
-    jax.device_get(x0b0[0, 0, 0, 0, :2])
+    # MEGAFUSE: ONE program per block — re-encode + prefill + denoise scan +
+    # all-latent decode (lax.scan over the VAE cache carry) — plus one fused
+    # block-0+first-frame program for TTFF. Dodges per-dispatch overhead
+    # (the round-4 sickness flavor taxes EVERY dispatch ~32 ms: loop-chain
+    # t1=33.3ms t10=32.5ms t100=38.9ms, bench/stall_probe.py) and is the
+    # natural XLA shape anyway: the host only dispatches once per block.
+    # Excluded when the VAE rides its own chip (split-device overlap needs
+    # separate programs) and for the TAEHV preview tier.
+    mega = (
+        os.getenv("RTV_BENCH_MEGAFUSE", "0") in ("1", "true")
+        and not use_taehv and vae_dev is None
+    )
+
+    if mega:
+        vcfg = vae.cfg
+
+        def mega_block(params, kv, cross, vparams, vcache, px_tail,
+                       ctx_rest, noisy, current_start, rng):
+            # px_tail [B,1,H,W,3] (VAE layout): previous block's last frame
+            if reencode:
+                first_lat, _ = vae_mod.encode_chunks(
+                    vcfg, vparams, px_tail, None, stream=False
+                )
+                ctx_in = jnp.concatenate(
+                    [first_lat.transpose(0, 1, 4, 2, 3).astype(ctx_rest.dtype),
+                     ctx_rest[:, 1:]], axis=1,
+                )
+            else:
+                ctx_in = ctx_rest
+            x0, kv, rng = block_step(
+                params, kv, cross, ctx_in, noisy, current_start, rng
+            )
+            z = x0.astype(jnp.bfloat16).transpose(0, 1, 3, 4, 2)  # [B,T,h,w,z]
+
+            def dec(c, z1):
+                px1, c = vae_mod.decode_chunks(
+                    vcfg, vparams, z1[:, None], c, first=False, chunk=1
+                )
+                return c, px1
+
+            vcache, pxs = jax.lax.scan(dec, vcache, jnp.moveaxis(z, 1, 0))
+            # pxs [T, B, 4, H, W, 3]; feed the last frame back for the next
+            # block's re-encode without any host-side slicing dispatch
+            return pxs, kv, vcache, rng, pxs[-1, :, -1:]
+
+        mega_fn = jax.jit(mega_block, donate_argnums=(1, 4))
+
+        def mega_block0(params, kv, cross, vparams, noisy, rng):
+            # serving block 0: empty context queue -> no prefill; stream the
+            # FIRST latent's decode (fresh VAE stream) in the same program
+            x0, kv, rng = denoise(
+                params, kvc.reset_kv_cache(kv), cross, noisy, 0, rng
+            )
+            z1 = x0[:, :1].astype(jnp.bfloat16).transpose(0, 1, 3, 4, 2)
+            px1, vc = vae_mod.decode_chunks(
+                vcfg, vparams, z1, None, first=True, chunk=1
+            )
+            return px1, kv, vc, rng
+
+        mega0_fn = jax.jit(mega_block0, donate_argnums=(1,))
+
+        # warmup / compile both fused programs (the reference precompiles at
+        # server start, release_server.py:753-755)
+        px1, kv, vcache, rng = mega0_fn(
+            gen.params, kv, cross, vae.params, noise, rng
+        )
+        jax.device_get(px1[0, -1, :2, :2, 0])
+        px_tail = px1[:, -1:]
+        pxs, kv, vcache, rng, px_tail = mega_fn(
+            gen.params, kv, cross, vae.params, vcache, px_tail, ctx_frames,
+            noise, (kv_frames - nfpb) * fsl, rng,
+        )
+        jax.device_get(pxs[-1, 0, -1, :2, :2, 0])
+    else:
+        # warmup / compile the fused step + BOTH vae variants (first +
+        # streaming). Decode per latent frame — the serving session's
+        # streamed-decode path.
+        x0, kv, rng = step_fn(
+            gen.params, kv, cross, ctx_frames, noise, (kv_frames - nfpb) * fsl, rng
+        )
+        px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
+        px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16), vcache)
+        jax.device_get(px[0, -1, :2, :2])
+        # warm the block-0 (no-prefill) program too, so the TTFF measurement
+        # below times execution, not compilation
+        x0b0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
+        jax.device_get(x0b0[0, 0, 0, 0, :2])
 
     if on_tpu:
         # the hot attention entry must have traced onto the Pallas kernel
@@ -349,15 +431,7 @@ def main() -> None:
     profile_dir = os.getenv("RTV_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    # anti-drift first-frame re-encode: the serving session re-encodes the
-    # oldest cached pixel frame through the VAE encoder every post-warmup
-    # block (session.py get_clean_context_frames / release_server.py:573-575).
-    # Round 1 omitted this cost; include it so the bench is the true hot path.
-    reencode = (
-        os.getenv("RTV_BENCH_REENCODE", "1") in ("1", "true")
-        and not tiny and not use_taehv
-    )
-    if reencode:
+    if reencode and not mega:
         # bf16, matching the reference's .half() re-encode (release_server.py:574)
         enc_in = px[:, -1:].astype(jnp.bfloat16)  # [1,1,3,H,W] from the decode
         first_lat = vae.encode_to_latent(enc_in)  # warm/compile
@@ -366,27 +440,39 @@ def main() -> None:
     frames_out = 0
     outs = []
     t0 = time.perf_counter()
-    for blk in range(num_blocks):
-        if reencode:
-            first_lat = vae.encode_to_latent(px[:, -1:].astype(jnp.bfloat16))
-            ctx_in = jnp.concatenate(
-                [first_lat.astype(ctx_frames.dtype), ctx_frames[:, 1:]], axis=1
+    if mega:
+        for blk in range(num_blocks):
+            pxs, kv, vcache, rng, px_tail = mega_fn(
+                gen.params, kv, cross, vae.params, vcache, px_tail,
+                ctx_frames, noise, (kv_frames - nfpb) * fsl, rng,
             )
-        else:
-            ctx_in = ctx_frames
-        x0, kv, rng = step_fn(
-            gen.params, kv, cross, ctx_in, noise, (kv_frames - nfpb) * fsl, rng
-        )
-        for i in range(x0.shape[1]):
-            px, vcache = vae.decode_block(
-                x0[:, i : i + 1].astype(jnp.bfloat16), vcache
+            outs.append(pxs)
+            frames_out += pxs.shape[0] * pxs.shape[2]
+        # final-frame readback: the only trustworthy barrier over the tunnel
+        _sync = jax.device_get(outs[-1][-1, 0, -1, ::64, ::64, :])
+    else:
+        for blk in range(num_blocks):
+            if reencode:
+                first_lat = vae.encode_to_latent(px[:, -1:].astype(jnp.bfloat16))
+                ctx_in = jnp.concatenate(
+                    [first_lat.astype(ctx_frames.dtype), ctx_frames[:, 1:]], axis=1
+                )
+            else:
+                ctx_in = ctx_frames
+            x0, kv, rng = step_fn(
+                gen.params, kv, cross, ctx_in, noise, (kv_frames - nfpb) * fsl, rng
             )
-            outs.append(px)
-            frames_out += px.shape[1]
-    # axon's block_until_ready can return before remote execution finishes —
-    # a host readback of the final frame (which depends on every prior block
-    # through the donated kv/vae caches) is the only trustworthy barrier
-    _sync = jax.device_get(outs[-1][0, -1, :, ::64, ::64])
+            for i in range(x0.shape[1]):
+                px, vcache = vae.decode_block(
+                    x0[:, i : i + 1].astype(jnp.bfloat16), vcache
+                )
+                outs.append(px)
+                frames_out += px.shape[1]
+        # axon's block_until_ready can return before remote execution
+        # finishes — a host readback of the final frame (which depends on
+        # every prior block through the donated kv/vae caches) is the only
+        # trustworthy barrier
+        _sync = jax.device_get(outs[-1][0, -1, :, ::64, ::64])
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
@@ -400,9 +486,15 @@ def main() -> None:
     # warmup pair, so the dispatch-dedupe cannot fake this (CLAUDE.md
     # measurement rules).
     t0 = time.perf_counter()
-    x0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
-    px1, _ = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
-    jax.device_get(px1[0, -1, :, ::64, ::64])
+    if mega:
+        px1, kv, _vc, rng = mega0_fn(
+            gen.params, kv, cross, vae.params, noise, rng
+        )
+        jax.device_get(px1[0, -1, ::64, ::64, :])
+    else:
+        x0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
+        px1, _ = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
+        jax.device_get(px1[0, -1, :, ::64, ::64])
     ttff_ms = (time.perf_counter() - t0) * 1e3
 
     label = "tiny" if tiny else ("1.3b_taehv" if use_taehv else "1.3b")
