@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import copy
 import logging
+import os
 import queue
 import threading
 import time
@@ -110,6 +111,51 @@ def fused_block_step(
         return denoise(params, kv, cross, noisy, current_start, rng)
 
     return jax.jit(fn, donate_argnums=(1,))
+
+
+@lru_cache(maxsize=4)
+def fused_block_decode_step(
+    gen,
+    vae,
+    shift: float,
+    steps: Tuple[float, ...],
+    num_ctx_frames: int,
+    max_attn: int,
+    fsl: int,
+    nfpb: int,
+):
+    """Throughput-mode hot loop (RTV_SESSION_MEGAFUSE): ONE dispatch per
+    block — reset + prefill + denoise scan + all-latent VAE decode
+    (lax.scan carries the streaming conv cache, so buffers are reused and
+    the math equals the per-latent decode_block calls; tests/test_megafuse).
+
+    Frames then reach the client at block granularity instead of latent
+    granularity — the trade is per-dispatch overhead (the axon tunnel taxes
+    every dispatch; bench/stall_probe.py measured ~32 ms each on
+    fresh-compiled executables) against intra-block streaming latency."""
+    from realtime_video_tpu.models import vae as vae_mod
+
+    inner = fused_block_step(gen, shift, steps, num_ctx_frames, max_attn,
+                             fsl, nfpb)
+    vcfg = vae.cfg
+
+    def fn(params, kv, cross, vparams, vcache, clean_ctx, noisy,
+           current_start, rng):
+        x0, kv, rng = inner(params, kv, cross, clean_ctx, noisy,
+                            current_start, rng)
+        z = x0.astype(jnp.bfloat16).transpose(0, 1, 3, 4, 2)  # [B,T,h,w,z]
+
+        def dec(c, z1):
+            px1, c = vae_mod.decode_chunks(vcfg, vparams, z1[:, None], c,
+                                           first=False, chunk=1)
+            return c, px1
+
+        vcache, pxs = jax.lax.scan(dec, vcache, jnp.moveaxis(z, 1, 0))
+        t, b, f, h, w, c = pxs.shape
+        px = jnp.moveaxis(pxs, 0, 1).reshape(b, t * f, h, w, c)
+        return x0, px.transpose(0, 1, 4, 2, 3), kv, vcache, rng
+
+    return jax.jit(fn, donate_argnums=(1, 4))
 
 
 @lru_cache(maxsize=8)
@@ -440,7 +486,12 @@ class GenerationSession:
         # host round-trip on top (reference pulls .half() on GPU, :574)
         # bf16 like the reference's .half() (:574) — an f32 single-frame
         # encode measured ~2x slower on v5e with no quality gain
-        first_pixels = self.frame_context_cache[0][0].astype(jnp.bfloat16)  # [3,H,W]
+        # entries are LAZY (block_pixels, frame_idx) pairs: storing 12 eager
+        # per-frame slices per block cost 12 device dispatches each block
+        # (every dispatch is taxed over the tunnel); only the one frame the
+        # re-encode consumes is ever sliced
+        blk, fi = self.frame_context_cache[0]
+        first_pixels = blk[0, fi].astype(jnp.bfloat16)  # [3,H,W]
         first_latent, _ = encode_video_latent(
             models.vae_encoder, None, resample_to=16, max_frames=81,
             frames=first_pixels[None], height=self.params.height,
@@ -553,11 +604,54 @@ class GenerationSession:
 
         steps = tuple(float(t) for t in self.denoising_step_list)
         nctx = clean_context.shape[1] if clean_context is not None else 0
-        step_fn = self._block_step_fn(steps, nctx)
         if clean_context is None:
             clean_context = jnp.zeros(
                 (1, 0, 16, self.latent_height, self.latent_width), jnp.bfloat16
             )
+
+        # throughput mode: denoise + whole-block decode in ONE dispatch.
+        # Block 0 never lands here (its decode cache is still None), so the
+        # first frames keep the low-TTFF streamed path below.
+        if (
+            os.getenv("RTV_SESSION_MEGAFUSE", "0") in ("1", "true")
+            and not self.params.webcam_mode
+            and not self.current_use_taehv
+            and self.decode_vae_cache is not None
+            and getattr(models.vae_decoder, "device", None) is None
+            and getattr(models.vae_decoder, "mesh", None) is None
+        ):
+            fused = fused_block_decode_step(
+                models.transformer, models.vae_decoder,
+                float(self.params.timestep_shift), steps, nctx,
+                self._max_attn(), self.frame_seq_length,
+                self.num_frame_per_block,
+            )
+            (x0, pixels, models.pipeline.kv_cache, self.decode_vae_cache,
+             self.rng) = fused(
+                models.transformer.params, models.pipeline.kv_cache,
+                models.pipeline.crossattn_cache, models.vae_decoder.params,
+                self.decode_vae_cache, clean_context, noisy_input,
+                model_input_start_frame * self.frame_seq_length, self.rng,
+            )
+            self.all_latents = self.all_latents.at[
+                :, self.current_start_frame : self.current_start_frame + self.num_frame_per_block
+            ].set(x0)
+            self.last_pred = x0
+            for fi in range(pixels.shape[1]):
+                self.frame_context_cache.append((pixels, fi))
+            self.most_recent_frame = pixels[:, -1:]
+            try:
+                pixels.copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
+            self.frame_callback(pixels, frame_ids, None)
+            self.current_start_frame += self.num_frame_per_block
+            self.total_frames_sent += pixels.shape[1]
+            self.block_idx += 1
+            self.resume_latents = None
+            return pixels
+
+        step_fn = self._block_step_fn(steps, nctx)
         x0, models.pipeline.kv_cache, self.rng = step_fn(
             models.transformer.params, models.pipeline.kv_cache,
             models.pipeline.crossattn_cache, clean_context, noisy_input,
@@ -604,7 +698,7 @@ class GenerationSession:
                     x0[:, i : i + 1].astype(jnp.bfloat16), self.decode_vae_cache
                 )
                 for fi in range(px_i.shape[1]):
-                    self.frame_context_cache.append(px_i[:, fi])
+                    self.frame_context_cache.append((px_i, fi))
                 out_i = px_i[:, drop:]
                 drop = max(0, drop - px_i.shape[1])
                 parts.append(out_i)
@@ -624,7 +718,7 @@ class GenerationSession:
         # whole-block paths (taehv / webcam)
         # keep raw pixel frames for first-frame re-encode (anti-drift)
         for fi in range(pixels.shape[1]):
-            self.frame_context_cache.append(pixels[:, fi])
+            self.frame_context_cache.append((pixels, fi))
         if idx == 0:
             pixels = pixels[:, 3:]  # drop first 3 frames of first block
 

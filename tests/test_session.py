@@ -264,3 +264,33 @@ def test_resume_full_budget_ends_gracefully(models):
     )
     assert s.generate_block_internal(m) is None
     assert s.current_start_frame == 6  # resume applied, nothing generated
+
+
+def test_session_megafuse_matches_streamed_path(models, monkeypatch):
+    """RTV_SESSION_MEGAFUSE (one dispatch per warm block: denoise + whole
+    block decode) must emit the same frames as the per-latent streamed
+    path — same math, different dispatch granularity."""
+    m, config = models
+
+    def run(mega: bool):
+        frames = []
+
+        def cb(pixels, frame_ids, event):
+            frames.append(np.asarray(pixels, np.float32))
+
+        monkeypatch.setenv("RTV_SESSION_MEGAFUSE", "1" if mega else "0")
+        s = GenerationSession(_params(), config, frame_callback=cb, models=m)
+        for _ in range(3):
+            s.generate_block(m)
+        return np.concatenate(frames, axis=1), s
+
+    ref, s_ref = run(False)
+    got, s_got = run(True)
+    assert got.shape == ref.shape == (1, 30, 3, 64, 64)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    # block 0 streams per latent (3 callbacks: 2+4 after the first-block
+    # drop); warm blocks arrive as one 12-frame callback each
+    np.testing.assert_array_equal(
+        np.asarray(s_got.all_latents, np.float32),
+        np.asarray(s_ref.all_latents, np.float32),
+    )
