@@ -207,8 +207,31 @@ def main() -> None:
                 # calibrated static activation scales (mirrors the VAE's
                 # +0.42 fps static-amax win): one eager float pass per
                 # denoise timestep at small spatial dims, then no amax
-                # pass at all at serving time
-                act_scales = gen.calibrate_act_scales(steps)
+                # pass at all at serving time. The pass is deterministic
+                # (seed-0 params, fixed steps), so cache it on disk — it
+                # costs minutes of single-core eager time per bench run
+                # and the secure loop runs the bench 2-3x per attempt.
+                # Delete ~/.rtv_dit_scales_* after model-code changes.
+                import hashlib
+                import pickle
+
+                cal_key = hashlib.sha256(repr(
+                    (cfg.dim, cfg.ffn_dim, cfg.num_heads, cfg.num_layers,
+                     steps)
+                ).encode()).hexdigest()[:16]
+                cal_path = os.path.expanduser(
+                    f"~/.rtv_dit_scales_{cal_key}.pkl")
+                if (os.getenv("RTV_BENCH_CAL_CACHE", "1") in ("1", "true")
+                        and os.path.exists(cal_path)):
+                    with open(cal_path, "rb") as f:
+                        act_scales = pickle.load(f)
+                else:
+                    act_scales = gen.calibrate_act_scales(steps)
+                    try:
+                        with open(cal_path, "wb") as f:
+                            pickle.dump(act_scales, f)
+                    except OSError:
+                        pass
         gen.params = jax.device_put(
             wan_dit_mod.quantize_wan_linears(gen.params, act_scales=act_scales),
             dev,
@@ -334,8 +357,11 @@ def main() -> None:
     # natural XLA shape anyway: the host only dispatches once per block.
     # Excluded when the VAE rides its own chip (split-device overlap needs
     # separate programs) and for the TAEHV preview tier.
+    # DEFAULT ON (fused A/B 2026-08-19: 9.121 fps vs 6.762 on the same
+    # sick-window cache — and above the 8.213 healthy-era best, since even
+    # healthy dispatches cost ~5-10 ms × ~10/block on the tunnel)
     mega = (
-        os.getenv("RTV_BENCH_MEGAFUSE", "0") in ("1", "true")
+        os.getenv("RTV_BENCH_MEGAFUSE", "1") in ("1", "true")
         and not use_taehv and vae_dev is None
     )
 
@@ -392,13 +418,17 @@ def main() -> None:
         px1, kv, vcache, rng = mega0_fn(
             gen.params, kv, cross, vae.params, noise, rng
         )
-        jax.device_get(px1[0, -1, :2, :2, 0])
+        # warm the EXACT readback slice programs the timed sections use —
+        # an unwarmed gather compiles inside the timed region (fresh tiny
+        # compiles cost seconds over the tunnel; measured ttff 3475 ms from
+        # exactly this)
+        jax.device_get(px1[0, -1, ::64, ::64, :])
         px_tail = px1[:, -1:]
         pxs, kv, vcache, rng, px_tail = mega_fn(
             gen.params, kv, cross, vae.params, vcache, px_tail, ctx_frames,
             noise, (kv_frames - nfpb) * fsl, rng,
         )
-        jax.device_get(pxs[-1, 0, -1, :2, :2, 0])
+        jax.device_get(pxs[-1, 0, -1, ::64, ::64, :])
     else:
         # warmup / compile the fused step + BOTH vae variants (first +
         # streaming). Decode per latent frame — the serving session's
@@ -408,7 +438,8 @@ def main() -> None:
         )
         px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
         px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16), vcache)
-        jax.device_get(px[0, -1, :2, :2])
+        # warm the exact readback slice programs (see mega branch note)
+        jax.device_get(px[0, -1, :, ::64, ::64])
         # warm the block-0 (no-prefill) program too, so the TTFF measurement
         # below times execution, not compilation
         x0b0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
@@ -485,17 +516,33 @@ def main() -> None:
     # the FIRST latent only + host readback. Inputs have evolved past the
     # warmup pair, so the dispatch-dedupe cannot fake this (CLAUDE.md
     # measurement rules).
-    t0 = time.perf_counter()
-    if mega:
-        px1, kv, _vc, rng = mega0_fn(
-            gen.params, kv, cross, vae.params, noise, rng
-        )
-        jax.device_get(px1[0, -1, ::64, ::64, :])
-    else:
-        x0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
-        px1, _ = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
-        jax.device_get(px1[0, -1, :, ::64, ::64])
-    ttff_ms = (time.perf_counter() - t0) * 1e3
+    # p50 over a few repeated session-starts (BASELINE.md: "p50 < 1.5 s"):
+    # the first start right after the throughput loop can pay a remote
+    # executable reload (measured 3.5-4.5 s once, ~0.9 s steady) — the
+    # median is the serving-relevant number.
+    reps = []
+    for _ in range(int(os.getenv("RTV_BENCH_TTFF_REPS", "3"))):
+        if mega:
+            # a fresh zeroed cache, like a new session's first block — and
+            # the same input layout the warmup compiled against (the loop's
+            # donated kv alias carries mega_fn's OUTPUT layout; feeding it
+            # here re-triggered a 22 s mega0 recompile on chip)
+            kv = kvc.init_kv_cache(
+                cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim
+            )
+        t0 = time.perf_counter()
+        if mega:
+            px1, kv, _vc, rng = mega0_fn(
+                gen.params, kv, cross, vae.params, noise, rng
+            )
+            jax.device_get(px1[0, -1, ::64, ::64, :])
+        else:
+            x0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
+            px1, _ = vae.decode_block(x0[:, :1].astype(jnp.bfloat16))
+            jax.device_get(px1[0, -1, :, ::64, ::64])
+        reps.append((time.perf_counter() - t0) * 1e3)
+    print(f"ttff reps: {[round(r, 1) for r in reps]}", file=sys.stderr)
+    ttff_ms = sorted(reps)[len(reps) // 2]
 
     label = "tiny" if tiny else ("1.3b_taehv" if use_taehv else "1.3b")
     print(json.dumps({
