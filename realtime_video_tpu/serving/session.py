@@ -611,9 +611,14 @@ class GenerationSession:
 
         # throughput mode: denoise + whole-block decode in ONE dispatch.
         # Block 0 never lands here (its decode cache is still None), so the
-        # first frames keep the low-TTFF streamed path below.
+        # first frames keep the low-TTFF streamed path below. DEFAULT ON:
+        # whole-block decode is the reference's own serving granularity
+        # (release_server.py:719-726 decodes denoised_pred for the full
+        # block in one vae_decoder call and frame_callback receives the
+        # whole block), and it is the configuration the headline bench
+        # measures; RTV_SESSION_MEGAFUSE=0 restores per-latent streaming.
         if (
-            os.getenv("RTV_SESSION_MEGAFUSE", "0") in ("1", "true")
+            os.getenv("RTV_SESSION_MEGAFUSE", "1") in ("1", "true")
             and not self.params.webcam_mode
             and not self.current_use_taehv
             and self.decode_vae_cache is not None

@@ -59,7 +59,11 @@ def _params(**kw):
     return GenerateParams(**base)
 
 
-def test_session_generates_blocks_with_streaming_decode(models):
+def test_session_generates_blocks_with_streaming_decode(models, monkeypatch):
+    # the per-latent streamed path is opt-in now (whole-block decode is the
+    # default — the reference's own serving granularity, release_server.py:
+    # 719-726); this test exercises streaming mode explicitly
+    monkeypatch.setenv("RTV_SESSION_MEGAFUSE", "0")
     m, config = models
     frames_per_block = []
 
