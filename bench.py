@@ -362,10 +362,47 @@ def main() -> None:
     # healthy dispatches cost ~5-10 ms × ~10/block on the tunnel)
     mega = (
         os.getenv("RTV_BENCH_MEGAFUSE", "1") in ("1", "true")
-        and not use_taehv and vae_dev is None
+        and vae_dev is None
     )
 
-    if mega:
+    if mega and use_taehv:
+        # preview-tier megafuse: prefill + denoise scan + whole-block TAEHV
+        # decode in ONE program. No anti-drift re-encode in this tier (same
+        # convention as the streamed taehv path); TAEHV decodes all 3
+        # latents in one call, so no scan is needed.
+        def mega_block_thv(params, kv, cross, tparams, tstate, ctx_rest,
+                           noisy, current_start, rng):
+            x0, kv, rng = block_step(
+                params, kv, cross, ctx_rest, noisy, current_start, rng
+            )
+            px, tstate = taehv_mod.taehv_decode(
+                tparams, x0.astype(jnp.bfloat16), tstate
+            )
+            return px, kv, tstate, rng
+
+        mega_thv_fn = jax.jit(mega_block_thv, donate_argnums=(1, 4))
+
+        def mega_block0_thv(params, kv, cross, tparams, noisy, rng):
+            x0, kv, rng = denoise(
+                params, kvc.reset_kv_cache(kv), cross, noisy, 0, rng
+            )
+            px1, tstate = taehv_mod.taehv_decode(
+                tparams, x0[:, :1].astype(jnp.bfloat16), None
+            )
+            return px1, kv, tstate, rng
+
+        mega0_thv_fn = jax.jit(mega_block0_thv, donate_argnums=(1,))
+
+        px1, kv, tstate, rng = mega0_thv_fn(
+            gen.params, kv, cross, taehv_params, noise, rng
+        )
+        jax.device_get(px1[0, -1, :, ::64, ::64])
+        px, kv, tstate, rng = mega_thv_fn(
+            gen.params, kv, cross, taehv_params, tstate, ctx_frames,
+            noise, (kv_frames - nfpb) * fsl, rng,
+        )
+        jax.device_get(px[0, -1, :, ::64, ::64])
+    elif mega:
         vcfg = vae.cfg
 
         def mega_block(params, kv, cross, vparams, vcache, px_tail,
@@ -471,7 +508,16 @@ def main() -> None:
     frames_out = 0
     outs = []
     t0 = time.perf_counter()
-    if mega:
+    if mega and use_taehv:
+        for blk in range(num_blocks):
+            px, kv, tstate, rng = mega_thv_fn(
+                gen.params, kv, cross, taehv_params, tstate, ctx_frames,
+                noise, (kv_frames - nfpb) * fsl, rng,
+            )
+            outs.append(px)
+            frames_out += px.shape[1]
+        _sync = jax.device_get(outs[-1][0, -1, :, ::64, ::64])
+    elif mega:
         for blk in range(num_blocks):
             pxs, kv, vcache, rng, px_tail = mega_fn(
                 gen.params, kv, cross, vae.params, vcache, px_tail,
@@ -531,7 +577,12 @@ def main() -> None:
                 cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim
             )
         t0 = time.perf_counter()
-        if mega:
+        if mega and use_taehv:
+            px1, kv, _ts, rng = mega0_thv_fn(
+                gen.params, kv, cross, taehv_params, noise, rng
+            )
+            jax.device_get(px1[0, -1, :, ::64, ::64])
+        elif mega:
             px1, kv, _vc, rng = mega0_fn(
                 gen.params, kv, cross, vae.params, noise, rng
             )
