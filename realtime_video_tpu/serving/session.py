@@ -158,6 +158,38 @@ def fused_block_decode_step(
     return jax.jit(fn, donate_argnums=(1, 4))
 
 
+@lru_cache(maxsize=4)
+def fused_block_taehv_step(
+    gen,
+    shift: float,
+    steps: Tuple[float, ...],
+    num_ctx_frames: int,
+    max_attn: int,
+    fsl: int,
+    nfpb: int,
+):
+    """Preview-tier (use_taehv, release_server.py:350) twin of
+    fused_block_decode_step: denoise + whole-block TAEHV decode in ONE
+    dispatch. The un-fused taehv path runs taehv_decode eagerly — dozens of
+    small dispatches per block, each paying the tunnel's per-dispatch cost.
+    Includes the [0,1] -> [-1,1] session-convention mapping."""
+    from realtime_video_tpu.models import taehv as taehv_mod
+
+    inner = fused_block_step(gen, shift, steps, num_ctx_frames, max_attn,
+                             fsl, nfpb)
+
+    def fn(params, kv, cross, tparams, tstate, clean_ctx, noisy,
+           current_start, rng):
+        x0, kv, rng = inner(params, kv, cross, clean_ctx, noisy,
+                            current_start, rng)
+        px, tstate = taehv_mod.taehv_decode(
+            tparams, x0.astype(jnp.bfloat16), tstate
+        )
+        return x0, px * 2.0 - 1.0, kv, tstate, rng
+
+    return jax.jit(fn, donate_argnums=(1, 4))
+
+
 @lru_cache(maxsize=8)
 def _prefill_fn_cached(gen, fsl: int, nfpb: int, num_ctx_frames: int):
     """Module-level (keyed on the long-lived transformer, not the session —
@@ -620,24 +652,44 @@ class GenerationSession:
         if (
             os.getenv("RTV_SESSION_MEGAFUSE", "1") in ("1", "true")
             and not self.params.webcam_mode
-            and not self.current_use_taehv
             and self.decode_vae_cache is not None
             and getattr(models.vae_decoder, "device", None) is None
             and getattr(models.vae_decoder, "mesh", None) is None
         ):
-            fused = fused_block_decode_step(
-                models.transformer, models.vae_decoder,
-                float(self.params.timestep_shift), steps, nctx,
-                self._max_attn(), self.frame_seq_length,
-                self.num_frame_per_block,
-            )
-            (x0, pixels, models.pipeline.kv_cache, self.decode_vae_cache,
-             self.rng) = fused(
-                models.transformer.params, models.pipeline.kv_cache,
-                models.pipeline.crossattn_cache, models.vae_decoder.params,
-                self.decode_vae_cache, clean_context, noisy_input,
-                model_input_start_frame * self.frame_seq_length, self.rng,
-            )
+            if self.current_use_taehv:
+                from realtime_video_tpu.models import taehv as taehv_mod
+
+                if getattr(models, "taehv_params", None) is None:
+                    models.taehv_params = taehv_mod.init_taehv_params(
+                        jax.random.PRNGKey(0), jnp.bfloat16
+                    )
+                fused = fused_block_taehv_step(
+                    models.transformer,
+                    float(self.params.timestep_shift), steps, nctx,
+                    self._max_attn(), self.frame_seq_length,
+                    self.num_frame_per_block,
+                )
+                (x0, pixels, models.pipeline.kv_cache, self.decode_vae_cache,
+                 self.rng) = fused(
+                    models.transformer.params, models.pipeline.kv_cache,
+                    models.pipeline.crossattn_cache, models.taehv_params,
+                    self.decode_vae_cache, clean_context, noisy_input,
+                    model_input_start_frame * self.frame_seq_length, self.rng,
+                )
+            else:
+                fused = fused_block_decode_step(
+                    models.transformer, models.vae_decoder,
+                    float(self.params.timestep_shift), steps, nctx,
+                    self._max_attn(), self.frame_seq_length,
+                    self.num_frame_per_block,
+                )
+                (x0, pixels, models.pipeline.kv_cache, self.decode_vae_cache,
+                 self.rng) = fused(
+                    models.transformer.params, models.pipeline.kv_cache,
+                    models.pipeline.crossattn_cache, models.vae_decoder.params,
+                    self.decode_vae_cache, clean_context, noisy_input,
+                    model_input_start_frame * self.frame_seq_length, self.rng,
+                )
             self.all_latents = self.all_latents.at[
                 :, self.current_start_frame : self.current_start_frame + self.num_frame_per_block
             ].set(x0)

@@ -298,3 +298,29 @@ def test_session_megafuse_matches_streamed_path(models, monkeypatch):
         np.asarray(s_got.all_latents, np.float32),
         np.asarray(s_ref.all_latents, np.float32),
     )
+
+
+def test_session_megafuse_taehv_matches_eager_path(models, monkeypatch):
+    """The preview tier's fused warm-block path (denoise + whole-block TAEHV
+    decode in one dispatch) must emit the same frames as the eager taehv
+    decode — same math, one dispatch instead of dozens."""
+    m, config = models
+
+    def run(mega: bool):
+        frames = []
+
+        def cb(pixels, frame_ids, event):
+            frames.append(np.asarray(pixels, np.float32))
+
+        monkeypatch.setenv("RTV_SESSION_MEGAFUSE", "1" if mega else "0")
+        cfg = type(config)(config)  # ServerConfig is a dict subclass
+        cfg["use_taehv"] = True
+        s = GenerationSession(_params(), cfg, frame_callback=cb, models=m)
+        for _ in range(2):
+            s.generate_block(m)
+        return np.concatenate(frames, axis=1)
+
+    ref = run(False)
+    got = run(True)
+    assert got.shape == ref.shape == (1, 21, 3, 64, 64)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
