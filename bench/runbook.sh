@@ -13,6 +13,11 @@
 #   attn     — attention A/B: staticmax vs NOPAD vs SKEW2 vs combined,
 #              + fused NOPAD bench if it wins standalone (probe-gated)
 #   profile  — profiled 2-block bench on the (secured) cache + trace summary
+#   ab FLAG [polls] — generic fused A/B of one env-gated variant: poll until
+#              a fresh-compile probe reads HEALTHY (default 12 x 10 min),
+#              then run bench.py with FLAG=1 into /tmp/bench_FLAG.json.
+#              Variant traces differ from the secured default programs, so a
+#              sick compile cannot clobber the headline cache.
 #   chain    — secure -> sweep -> attn -> profile (the full unattended plan)
 #
 # Usage: nohup bash bench/runbook.sh chain > /tmp/runbook_chain.log 2>&1 &
@@ -63,6 +68,21 @@ attn)
 profile)
     echo $$ > /tmp/tpu_loop.pid
     do_profile
+    rm -f /tmp/tpu_loop.pid ;;
+ab)
+    VAR="${2:?usage: runbook.sh ab RTV_FLAG [max_polls]}"
+    POLLS="${3:-12}"
+    echo $$ > /tmp/tpu_loop.pid
+    for i in $(seq 1 "$POLLS"); do
+        P=$(probe); echo "poll $i: $P"
+        if echo "$P" | grep -q HEALTHY; then
+            env "$VAR=1" RTV_BENCH_HEALTH_WAIT_S=120 timeout 7200 python bench.py \
+                > "/tmp/bench_${VAR}.json" 2> "/tmp/bench_${VAR}.log"
+            echo "fused $VAR: $(cat "/tmp/bench_${VAR}.json" 2>/dev/null)"
+            break
+        fi
+        [ "$i" -lt "$POLLS" ] && sleep 600
+    done
     rm -f /tmp/tpu_loop.pid ;;
 chain)
     echo "== stage A: secure the headline cache =="

@@ -103,6 +103,8 @@ _T1_TAPSKIP = os.getenv("RTV_VAE_T1_TAPSKIP", "1") in ("1", "true")
 #: flips it off to reuse the pre-change cached programs when fresh compiles
 #: are degraded.
 _QCAT = os.getenv("RTV_VAE_QCAT", "1") in ("1", "true")
+# see wan_dit._Q_RCP: reciprocal-multiply quantise, opt-in pending fused A/B
+_Q_RCP = os.getenv("RTV_Q_RCP", "0") in ("1", "true")
 
 
 _KNOWN_VARIANTS = {"conv", "shifted", "wcol", "im2col", "threeconv", "phase"}
@@ -317,7 +319,11 @@ def _quantize_act(p: Params, x: jnp.ndarray):
     else:
         amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
         a_scale = amax / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale), -127, 127).astype(jnp.int8)
+    # scalar-reciprocal multiply vs per-element divide (VPU-bound pass; see
+    # wan_dit._Q_RCP) — opt-in until the fused A/B ratifies it
+    xf = x.astype(jnp.float32)
+    scaled = xf * (1.0 / a_scale) if _Q_RCP else xf / a_scale
+    xq = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
     return xq, a_scale
 
 

@@ -48,6 +48,12 @@ Params = Dict[str, Any]
 
 
 _AMAX_SUB = int(_os.getenv("RTV_DIT_AMAX_SUB", "1"))
+# quantise with a hoisted scalar reciprocal + multiply instead of a
+# per-element f32 divide (divide lowers to ~7 VPU ops; the quantise pass is
+# VPU-bound — traces show ~0.4 ms per FFN input at 4680x8960). Opt-in until
+# the fused A/B ratifies it (changes program traces; measurement rules in
+# CLAUDE.md). Rounding can differ by 1 LSB at exact-half quanta.
+_Q_RCP = _os.getenv("RTV_Q_RCP", "0") in ("1", "true")
 
 #: when a list, eager (python-scan) block forwards record max|input| of every
 #: block linear, in call order — the DiT analog of the VAE's TRT-style
@@ -77,9 +83,9 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
             xa = x[..., ::_AMAX_SUB, :] if _AMAX_SUB > 1 and x.ndim >= 2 else x
             amax = jnp.maximum(jnp.max(jnp.abs(xa.astype(jnp.float32))), 1e-6)
             a_scale = amax / 127.0
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
-        ).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        scaled = xf * (1.0 / a_scale) if _Q_RCP else xf / a_scale
+        xq = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
         yq = jnp.dot(xq, p["w_q"], preferred_element_type=jnp.int32)
         y = yq.astype(jnp.float32) * (a_scale * p["scale"].astype(jnp.float32))
         if "b" in p:

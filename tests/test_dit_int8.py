@@ -78,3 +78,24 @@ def test_calibration_requires_float_params():
     gen.params = wan_dit.quantize_wan_linears(gen.params)
     with pytest.raises(AssertionError):
         gen.calibrate_act_scales(STEPS, lat_h=LAT, lat_w=LAT)
+
+
+def test_rcp_quantize_matches_divide(monkeypatch):
+    """RTV_Q_RCP (reciprocal-multiply quantise) tracks the divide form:
+    identical up to 1-LSB rounding flips at exact-half quanta."""
+    gen = _mk(True)
+    scales = gen.calibrate_act_scales(STEPS, lat_h=LAT, lat_w=LAT,
+                                      kv_frames=KV_FRAMES, nfpb=NFPB)
+    q = wan_dit.quantize_wan_linears(gen.params, act_scales=scales)
+
+    out_div = _fwd(gen, q)
+    monkeypatch.setattr(wan_dit, "_Q_RCP", True)
+    jax.clear_caches()  # the flag is read at trace time
+    out_rcp = _fwd(gen, q)
+    jax.clear_caches()
+
+    def corr(a, b):
+        a, b = a.ravel(), b.ravel()
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert corr(out_div, out_rcp) > 0.9999

@@ -80,3 +80,20 @@ def test_qcat_toggle_bit_exact(params, monkeypatch):
     monkeypatch.setattr(vae_mod, "_QCAT", False)
     off, _ = vae_mod.decode_chunks(CFG, q, z, None, first=True)
     np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
+
+
+def test_rcp_quantize_act_matches_divide(monkeypatch):
+    """vae._Q_RCP reciprocal-multiply quantise tracks the divide form."""
+    import numpy as np
+
+    from realtime_video_tpu.models import vae as vae_mod
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 32, 32, 16), jnp.float32) * 3
+    p = {"a_scale": jnp.float32(3.0 / 127.0)}
+    xq_div, s_div = vae_mod._quantize_act(p, x)
+    monkeypatch.setattr(vae_mod, "_Q_RCP", True)
+    xq_rcp, s_rcp = vae_mod._quantize_act(p, x)
+    assert float(s_div) == float(s_rcp)
+    diff = np.abs(np.asarray(xq_div, np.int32) - np.asarray(xq_rcp, np.int32))
+    assert diff.max() <= 1  # only exact-half rounding flips
+    assert (diff > 0).mean() < 0.01
