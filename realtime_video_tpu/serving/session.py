@@ -649,20 +649,21 @@ class GenerationSession:
         # block in one vae_decoder call and frame_callback receives the
         # whole block), and it is the configuration the headline bench
         # measures; RTV_SESSION_MEGAFUSE=0 restores per-latent streaming.
+        # split-device/sharded deployments keep the dispatch-per-stage path
+        # for the WAN VAE (decode rides its own chip there) — but that gate
+        # is about vae_decoder, which the taehv tier never touches
+        split_vae = (
+            getattr(models.vae_decoder, "device", None) is not None
+            or getattr(models.vae_decoder, "mesh", None) is not None
+        )
         if (
             os.getenv("RTV_SESSION_MEGAFUSE", "1") in ("1", "true")
             and not self.params.webcam_mode
             and self.decode_vae_cache is not None
-            and getattr(models.vae_decoder, "device", None) is None
-            and getattr(models.vae_decoder, "mesh", None) is None
+            and (self.current_use_taehv or not split_vae)
         ):
             if self.current_use_taehv:
-                from realtime_video_tpu.models import taehv as taehv_mod
-
-                if getattr(models, "taehv_params", None) is None:
-                    models.taehv_params = taehv_mod.init_taehv_params(
-                        jax.random.PRNGKey(0), jnp.bfloat16
-                    )
+                _ensure_taehv_params(models)
                 fused = fused_block_taehv_step(
                     models.transformer,
                     float(self.params.timestep_shift), steps, nctx,
@@ -726,10 +727,7 @@ class GenerationSession:
             # FLOPs; first-block trim matches the Wan 1+4(n-1) cadence
             from realtime_video_tpu.models import taehv as taehv_mod
 
-            if not hasattr(models, "taehv_params") or models.taehv_params is None:
-                models.taehv_params = taehv_mod.init_taehv_params(
-                    jax.random.PRNGKey(0), jnp.bfloat16
-                )
+            _ensure_taehv_params(models)
             px, self.decode_vae_cache = taehv_mod.taehv_decode(
                 models.taehv_params, x0.astype(jnp.bfloat16), self.decode_vae_cache
             )
