@@ -237,9 +237,51 @@ def warmup_models(models: Models, config, shapes=None) -> None:
             step = fused_block_step(gen, shift, steps, nctx, max_attn, fsl, nfpb)
             clean = jnp.zeros((1, nctx, 16, lat_h, lat_w), jnp.bfloat16)
             x0, kv, rng = step(gen.params, kv, cross, clean, noisy, kv_frames * fsl, rng)
-        # serving decodes per latent frame (session streamed path)
+        # block 0 decodes per latent frame (session streamed path, low TTFF)
         px, vcache = models.vae_decoder.decode_block(x0[:, :1])
         px, vcache = models.vae_decoder.decode_block(x0[:, :1], vcache)
         jax.device_get(px[0, -1, :2, :2])
+        # warm blocks are ONE megafused program (denoise + whole-block
+        # decode) when megafuse is on and the VAE shares the chip — compile
+        # the exact program the session will dispatch, plus the per-block
+        # anti-drift re-encode (single pixel frame -> latent)
+        split_vae = (getattr(models.vae_decoder, "device", None) is not None
+                     or getattr(models.vae_decoder, "mesh", None) is not None)
+        if os.getenv("RTV_SESSION_MEGAFUSE", "1") in ("1", "true"):
+            if bool(config.get("use_taehv", False)):
+                from realtime_video_tpu.serving.session import (
+                    _ensure_taehv_params, fused_block_taehv_step)
+
+                from realtime_video_tpu.models import taehv as taehv_mod
+
+                _ensure_taehv_params(models)
+                # build a warm decode state first: the serving program is
+                # traced with a non-None state (block 0 decodes eagerly)
+                _, tstate = taehv_mod.taehv_decode(
+                    models.taehv_params, x0[:, :1].astype(jnp.bfloat16), None)
+                tstep = fused_block_taehv_step(
+                    gen, shift, steps, kv_frames, max_attn, fsl, nfpb)
+                x0, _px, kv, _ts, rng = tstep(
+                    gen.params, kv, cross, models.taehv_params, tstate,
+                    jnp.zeros((1, kv_frames, 16, lat_h, lat_w), jnp.bfloat16),
+                    noisy, kv_frames * fsl, rng)
+            elif not split_vae:
+                from realtime_video_tpu.serving.session import (
+                    fused_block_decode_step)
+
+                fstep = fused_block_decode_step(
+                    gen, models.vae_decoder, shift, steps, kv_frames,
+                    max_attn, fsl, nfpb)
+                x0, _px, kv, vcache, rng = fstep(
+                    gen.params, kv, cross, models.vae_decoder.params, vcache,
+                    jnp.zeros((1, kv_frames, 16, lat_h, lat_w), jnp.bfloat16),
+                    noisy, kv_frames * fsl, rng)
+            else:
+                # split megafuse: whole-block decode program on the VAE chip
+                _px, vcache = models.vae_decoder.decode_block(
+                    x0.astype(jnp.bfloat16), vcache)
+            jax.device_get(jnp.asarray(_px)[0, -1, :1, :1])
+        one = jnp.zeros((1, 1, 3, h, w), jnp.bfloat16)
+        models.vae_encoder.encode_stream(one)
         log.info("warmup %dx%d done (%.1fs)", w, h, time.time() - t0)
     log.info("warmup complete in %.1fs", time.time() - t0)

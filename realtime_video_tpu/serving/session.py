@@ -37,6 +37,36 @@ from realtime_video_tpu.utils.misc import AtomicCounter
 log = logging.getLogger(__name__)
 
 
+def _ensure_taehv_params(models) -> None:
+    """Lazily populate ``models.taehv_params`` for the preview decode tier.
+
+    Mirrors the reference's lazy TAEHV construction (release_server.py:350 +
+    demo_utils/taehv.py:210-234): load real taew2_1 weights when a checkpoint
+    is present (RTV_TAEHV_CKPT, default checkpoints/taew2_1.pth), else a
+    random init so the tier runs end-to-end without weights.
+    """
+    if getattr(models, "taehv_params", None) is not None:
+        return
+    from realtime_video_tpu.models import taehv as taehv_mod
+
+    ckpt = os.getenv("RTV_TAEHV_CKPT", "checkpoints/taew2_1.pth")
+    if ckpt and os.path.exists(ckpt):
+        try:
+            import torch
+
+            sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+            models.taehv_params = taehv_mod.convert_taehv_checkpoint(
+                sd, jnp.bfloat16
+            )
+            log.info("loaded TAEHV weights from %s", ckpt)
+            return
+        except Exception:  # noqa: BLE001
+            log.exception("TAEHV checkpoint load failed; using random init")
+    models.taehv_params = taehv_mod.init_taehv_params(
+        jax.random.PRNGKey(0), jnp.bfloat16
+    )
+
+
 def encode_video_latent(
     vae,
     encode_vae_cache,
@@ -649,9 +679,14 @@ class GenerationSession:
         # block in one vae_decoder call and frame_callback receives the
         # whole block), and it is the configuration the headline bench
         # measures; RTV_SESSION_MEGAFUSE=0 restores per-latent streaming.
-        # split-device/sharded deployments keep the dispatch-per-stage path
-        # for the WAN VAE (decode rides its own chip there) — but that gate
-        # is about vae_decoder, which the taehv tier never touches
+        # split-device/sharded deployments (vae_decoder pinned to its own
+        # chip) compose with megafuse as TWO programs per block instead of
+        # one: a fused reset+prefill+denoise dispatch on the DiT device and
+        # a whole-block decode dispatch on the VAE device — the decode of
+        # block n overlaps block n+1's denoise (the reference's CUDA-stream
+        # overlap, release_server.py:727-729) while each device still pays
+        # only one dispatch per block. The taehv tier never touches
+        # vae_decoder, so it stays fully fused either way.
         split_vae = (
             getattr(models.vae_decoder, "device", None) is not None
             or getattr(models.vae_decoder, "mesh", None) is not None
@@ -660,7 +695,6 @@ class GenerationSession:
             os.getenv("RTV_SESSION_MEGAFUSE", "1") in ("1", "true")
             and not self.params.webcam_mode
             and self.decode_vae_cache is not None
-            and (self.current_use_taehv or not split_vae)
         ):
             if self.current_use_taehv:
                 _ensure_taehv_params(models)
@@ -676,6 +710,22 @@ class GenerationSession:
                     models.pipeline.crossattn_cache, models.taehv_params,
                     self.decode_vae_cache, clean_context, noisy_input,
                     model_input_start_frame * self.frame_seq_length, self.rng,
+                )
+            elif split_vae:
+                # two pipelined programs: fused denoise on the DiT device,
+                # whole-block decode on the VAE device. No host sync between
+                # them (decode_block dispatches async), so dev1 decodes this
+                # block while dev0 starts the next one — bit-equal to serial
+                # (dryrun phase 3c / tests/test_session split-megafuse test)
+                step_fn = self._block_step_fn(steps, nctx)
+                x0, models.pipeline.kv_cache, self.rng = step_fn(
+                    models.transformer.params, models.pipeline.kv_cache,
+                    models.pipeline.crossattn_cache, clean_context,
+                    noisy_input,
+                    model_input_start_frame * self.frame_seq_length, self.rng,
+                )
+                pixels, self.decode_vae_cache = models.vae_decoder.decode_block(
+                    x0.astype(jnp.bfloat16), self.decode_vae_cache
                 )
             else:
                 fused = fused_block_decode_step(
