@@ -97,8 +97,9 @@ def test_graft_entry_dryrun(monkeypatch):
 
     # the heavy tail phases (bf16 subprocess rehearsal + full-depth 14B:
     # 56 GB params, minutes of single-core matmul) are for the driver's
-    # dryrun, not the unit suite
+    # dryrun, not the unit suite — zero wall-clock budget skips them all
     monkeypatch.setenv("RTV_DRYRUN_FULL14B", "0")
+    monkeypatch.setenv("RTV_DRYRUN_BUDGET_S", "0")
     __graft_entry__.dryrun_multichip(8)
 
 
