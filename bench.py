@@ -19,6 +19,10 @@ os.environ.setdefault("JAX_PLATFORMS", "")  # real backend
 # a Pallas regression must fail the bench loudly, not silently cost ~1.7x
 os.environ.setdefault("RTV_STRICT_KERNELS", "1")
 
+# process-start anchor for the cold-start metric (bench.py is the entry
+# script, so module import time == process start, pre-jax-import)
+_PROC_T0 = time.perf_counter()
+
 
 def main() -> None:
     import jax
@@ -211,13 +215,20 @@ def main() -> None:
                 # (seed-0 params, fixed steps), so cache it on disk — it
                 # costs minutes of single-core eager time per bench run
                 # and the secure loop runs the bench 2-3x per attempt.
-                # Delete ~/.rtv_dit_scales_* after model-code changes.
+                # The key folds in a hash of wan_dit.py and the quant-
+                # relevant env flags so stale entries miss automatically
+                # after model-code changes (ADVICE r4).
                 import hashlib
                 import pickle
 
+                with open(wan_dit_mod.__file__, "rb") as f:
+                    code_hash = hashlib.sha256(f.read()).hexdigest()[:8]
                 cal_key = hashlib.sha256(repr(
                     (cfg.dim, cfg.ffn_dim, cfg.num_heads, cfg.num_layers,
-                     steps)
+                     steps, code_hash,
+                     os.getenv("RTV_DIT_AMAX_SUB", ""),
+                     os.getenv("RTV_Q_RCP", ""),
+                     os.getenv("RTV_Q_BF16", ""))
                 ).encode()).hexdigest()[:16]
                 cal_path = os.path.expanduser(
                     f"~/.rtv_dit_scales_{cal_key}.pkl")
@@ -397,6 +408,7 @@ def main() -> None:
             gen.params, kv, cross, taehv_params, noise, rng
         )
         jax.device_get(px1[0, -1, :, ::64, ::64])
+        cold_start_ms = (time.perf_counter() - _PROC_T0) * 1e3
         px, kv, tstate, rng = mega_thv_fn(
             gen.params, kv, cross, taehv_params, tstate, ctx_frames,
             noise, (kv_frames - nfpb) * fsl, rng,
@@ -460,6 +472,7 @@ def main() -> None:
         # compiles cost seconds over the tunnel; measured ttff 3475 ms from
         # exactly this)
         jax.device_get(px1[0, -1, ::64, ::64, :])
+        cold_start_ms = (time.perf_counter() - _PROC_T0) * 1e3
         px_tail = px1[:, -1:]
         pxs, kv, vcache, rng, px_tail = mega_fn(
             gen.params, kv, cross, vae.params, vcache, px_tail, ctx_frames,
@@ -477,6 +490,7 @@ def main() -> None:
         px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16), vcache)
         # warm the exact readback slice programs (see mega branch note)
         jax.device_get(px[0, -1, :, ::64, ::64])
+        cold_start_ms = (time.perf_counter() - _PROC_T0) * 1e3
         # warm the block-0 (no-prefill) program too, so the TTFF measurement
         # below times execution, not compilation
         x0b0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
@@ -602,6 +616,11 @@ def main() -> None:
         "unit": "fps",
         "vs_baseline": round(fps / 11.0, 4),
         "ttff_ms": round(ttff_ms, 1),
+        # process start -> first decoded frame readback (VERDICT r4 #6):
+        # the server-start->first-frame analog. With a primed persistent
+        # compile cache this is cache-load + residual-compile time; a cold
+        # cache pays full remote compiles here.
+        "cold_start_ms": round(cold_start_ms, 1),
     }))
 
 

@@ -54,6 +54,14 @@ _AMAX_SUB = int(_os.getenv("RTV_DIT_AMAX_SUB", "1"))
 # the fused A/B ratifies it (changes program traces; measurement rules in
 # CLAUDE.md). Rounding can differ by 1 LSB at exact-half quanta.
 _Q_RCP = _os.getenv("RTV_Q_RCP", "0") in ("1", "true")
+# quantise in bf16 arithmetic end-to-end (multiply/round/clip in bf16, no
+# f32 widening): halves the VPU register traffic of the quantise-write
+# fusion (~0.4 ms per FFN input in the r4 trace, ~2.5x its HBM roofline).
+# Integers <=127 are exact in bf16; the scaled value picks up a <=0.4%
+# relative error BEFORE rounding, so quanta can shift 1 LSB near the top of
+# range — same order as the quantisation noise itself. Opt-in until the
+# fused A/B ratifies it (VERDICT r4 #3).
+_Q_BF16 = _os.getenv("RTV_Q_BF16", "0") in ("1", "true")
 
 #: when a list, eager (python-scan) block forwards record max|input| of every
 #: block linear, in call order — the DiT analog of the VAE's TRT-style
@@ -83,8 +91,11 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
             xa = x[..., ::_AMAX_SUB, :] if _AMAX_SUB > 1 and x.ndim >= 2 else x
             amax = jnp.maximum(jnp.max(jnp.abs(xa.astype(jnp.float32))), 1e-6)
             a_scale = amax / 127.0
-        xf = x.astype(jnp.float32)
-        scaled = xf * (1.0 / a_scale) if _Q_RCP else xf / a_scale
+        if _Q_BF16:
+            scaled = x.astype(jnp.bfloat16) * (1.0 / a_scale).astype(jnp.bfloat16)
+        else:
+            xf = x.astype(jnp.float32)
+            scaled = xf * (1.0 / a_scale) if _Q_RCP else xf / a_scale
         xq = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
         yq = jnp.dot(xq, p["w_q"], preferred_element_type=jnp.int32)
         y = yq.astype(jnp.float32) * (a_scale * p["scale"].astype(jnp.float32))

@@ -99,3 +99,25 @@ def test_rcp_quantize_matches_divide(monkeypatch):
         return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
 
     assert corr(out_div, out_rcp) > 0.9999
+
+
+def test_bf16_quantize_tracks_f32(monkeypatch):
+    """RTV_Q_BF16 (bf16-arithmetic quantise) tracks the f32 form: the scaled
+    value carries <=0.4% relative error before rounding, so quanta can shift
+    1 LSB — same order as the quantisation noise itself."""
+    gen = _mk(True)
+    scales = gen.calibrate_act_scales(STEPS, lat_h=LAT, lat_w=LAT,
+                                      kv_frames=KV_FRAMES, nfpb=NFPB)
+    q = wan_dit.quantize_wan_linears(gen.params, act_scales=scales)
+
+    out_f32 = _fwd(gen, q)
+    monkeypatch.setattr(wan_dit, "_Q_BF16", True)
+    jax.clear_caches()  # the flag is read at trace time
+    out_bf16 = _fwd(gen, q)
+    jax.clear_caches()
+
+    def corr(a, b):
+        a, b = a.ravel(), b.ravel()
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert corr(out_f32, out_bf16) > 0.999
