@@ -51,7 +51,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--shape", choices=list(SHAPES), default="96")
     p.add_argument("--variant", default="conv",
-                   choices=["conv", "shifted", "wcol", "hcol", "im2col",
+                   choices=["conv", "shifted", "wcol", "hcol", "im2col", "pallas", "int8pallas",
                             "phase", "int8", "int8shifted", "int8wcol",
                             "int8phase", "threeconv", "matmul", "conv1x1",
                             "copy", "bigmm"])
@@ -282,6 +282,34 @@ def main() -> None:
                                 preferred_element_type=jnp.int32)
                 y = yi if y is None else y + yi
             return (y.astype(jnp.float32) * (a_scale * scale) + b).astype(x.dtype)
+    elif args.variant == "pallas":
+        # Element-window Pallas kernel (ops/pallas_conv2.py) — bf16 tier
+        from realtime_video_tpu.ops import pallas_conv2
+
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = pallas_conv2.conv3x3(xin, kw_, interpret=args.check)
+            assert y is not None, "no row tile fits this shape"
+            return y + b
+    elif args.variant == "int8pallas":
+        # the int8 tier through the Element-window Pallas kernel: int32
+        # accumulate in-kernel, dequant epilogue outside (as in production)
+        from realtime_video_tpu.ops import pallas_conv2
+
+        wq_ = jnp.clip(jnp.round(kw_.astype(jnp.float32) / 2e-4), -127, 127
+                       ).astype(jnp.int8)
+        scale = jnp.full((C,), 2e-4, jnp.float32)
+
+        def conv(x):
+            xin = jnp.pad(taps(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            amax = jnp.maximum(jnp.max(jnp.abs(xin.astype(jnp.float32))), 1e-6)
+            a_scale = amax / 127.0
+            xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / a_scale),
+                          -127, 127).astype(jnp.int8)
+            yq = pallas_conv2.conv3x3(xq, wq_, preferred=jnp.int32,
+                                      interpret=args.check)
+            assert yq is not None, "no row tile fits this shape"
+            return (yq.astype(jnp.float32) * (a_scale * scale) + b).astype(x.dtype)
     elif args.variant == "im2col":
         wm = kw_.reshape(9 * ci, C)
 

@@ -107,7 +107,8 @@ _QCAT = os.getenv("RTV_VAE_QCAT", "1") in ("1", "true")
 _Q_RCP = os.getenv("RTV_Q_RCP", "0") in ("1", "true")
 
 
-_KNOWN_VARIANTS = {"conv", "shifted", "wcol", "im2col", "threeconv", "phase"}
+_KNOWN_VARIANTS = {"conv", "shifted", "wcol", "im2col", "threeconv", "phase",
+                   "pallas"}
 _WARNED_VARIANTS: set = set()
 
 
@@ -188,6 +189,24 @@ def _spatial_conv(x, w, stride=(1, 1), padding="VALID", preferred=None):
             and tuple(map(tuple, padding)) == ((1, 1), (1, 1)) \
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         return _phase_conv(x, w, preferred)
+    if variant == "pallas" and kh == 3 and kw == 3 and stride == (1, 1) \
+            and os.getenv("RTV_DISABLE_PALLAS", "0") not in ("1", "true") \
+            and jax.default_backend() == "tpu":
+        # Element-window Pallas kernel (ops/pallas_conv2.py): overlapping
+        # halo windows from one input, no im2col scratch — the in-env swing
+        # at the conv engine's 25-47% MXU (VERDICT r4 #4). Falls back to the
+        # conv engine when no row tile fits (picker returns None).
+        from realtime_video_tpu.ops import pallas_conv2
+
+        xp = x
+        if padding != "VALID":
+            (ph0, ph1), (pw0, pw1) = padding
+            if ph0 or ph1 or pw0 or pw1:
+                xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+        y = pallas_conv2.conv3x3(xp, w, preferred=preferred)
+        if y is not None:
+            return y
+        variant = "conv"
     if variant in ("shifted", "wcol", "im2col") and kh == 3 and kw == 3 \
             and stride == (1, 1):
         if padding != "VALID":
