@@ -56,6 +56,11 @@ def main() -> None:
                             "int8phase", "threeconv", "matmul", "conv1x1",
                             "copy", "bigmm"])
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--salt", type=float, default=0.0,
+                   help="perturb the chain-blend constant to force a FRESH "
+                        "compile of an otherwise-cached arm — the only way "
+                        "to rank arms inside a poisoned-compile window is "
+                        "fresh-vs-fresh (docs/MEASUREMENTS.md)")
     p.add_argument("--check", action="store_true",
                    help="CPU equality check vs the conv formulation (small shape)")
     args = p.parse_args()
@@ -367,11 +372,13 @@ def main() -> None:
         print(f"{label}: check ok (max err {np.abs(got - want).max():.4f})")
         return
 
+    blend = 0.999 + args.salt  # salt != 0 changes the trace hash -> fresh compile
+
     @jax.jit
     def chain(x, iters):
         def body(_, xc):
             y = conv(xc)
-            return (xc * 0.999 + y.astype(xc.dtype) * 0.001).astype(xc.dtype)
+            return (xc * blend + y.astype(xc.dtype) * 0.001).astype(xc.dtype)
         return jax.lax.fori_loop(0, iters, body, x)
 
     # warmup with the SAME iters (one compile); the timed call takes the

@@ -62,6 +62,11 @@ _Q_RCP = _os.getenv("RTV_Q_RCP", "0") in ("1", "true")
 # range — same order as the quantisation noise itself. Opt-in until the
 # fused A/B ratifies it (VERDICT r4 #3).
 _Q_BF16 = _os.getenv("RTV_Q_BF16", "0") in ("1", "true")
+# fused int8 linear Pallas kernel (ops/pallas_int8_mm.py): quantise + s8
+# MXU dot + dequant epilogue in ONE kernel — no s8 activation copy in HBM,
+# no separate quantise-write/dequant fusions. Static-scale tier only;
+# opt-in until the fused A/B ratifies it (VERDICT r4 #3).
+_PALLAS_MM = _os.getenv("RTV_DIT_PALLAS_MM", "0") in ("1", "true")
 
 #: when a list, eager (python-scan) block forwards record max|input| of every
 #: block linear, in call order — the DiT analog of the VAE's TRT-style
@@ -87,6 +92,15 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # the reduce traffic; values beyond the estimate saturate at +-127)
         if "a_scale" in p:
             a_scale = p["a_scale"].astype(jnp.float32)
+            if _PALLAS_MM and p["w_q"].ndim == 2 \
+                    and _os.getenv("RTV_DISABLE_PALLAS", "0") not in ("1", "true") \
+                    and jax.default_backend() == "tpu":
+                from realtime_video_tpu.ops import pallas_int8_mm
+
+                y = pallas_int8_mm.int8_linear(
+                    x, p["w_q"], p["scale"], a_scale, bias=p.get("b"))
+                if y is not None:
+                    return y
         else:
             xa = x[..., ::_AMAX_SUB, :] if _AMAX_SUB > 1 and x.ndim >= 2 else x
             amax = jnp.maximum(jnp.max(jnp.abs(xa.astype(jnp.float32))), 1e-6)
