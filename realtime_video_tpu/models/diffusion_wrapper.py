@@ -117,6 +117,41 @@ class WanDiffusion:
         kv = kvc.init_kv_cache(
             cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim
         )
+        if os.getenv("RTV_CAL_JIT", "1") in ("1", "true"):
+            # jit-mode calibration (wan_dit._CALIB_JIT): amaxes ride the
+            # layer scan as outputs, so the whole forward is ONE compiled
+            # program reused across timesteps (same shapes) — ~20x faster
+            # than the eager per-layer loop at 1.3B dims on one CPU core.
+            # Math is identical: max|x| per site is order-independent.
+            import numpy as np
+
+            def _fwd(params, noisy, cross_, tt, kv_):
+                wan_dit._ACT_CALIB = []
+                wan_dit._CALIB_JIT = True
+                try:
+                    _, _, kv2 = self.forward(
+                        params, noisy, cross_, tt, kv_cache=kv_,
+                        current_start=(kv_frames - nfpb) * fsl, mode="decode",
+                        max_attention_size=cache_size,
+                    )
+                    site_amax = wan_dit._ACT_CALIB[-1]
+                finally:
+                    wan_dit._ACT_CALIB = None
+                    wan_dit._CALIB_JIT = False
+                return kv2, site_amax
+
+            fwd_j = jax.jit(_fwd, donate_argnums=(4,))
+            amaxes = []
+            for i, t in enumerate(ts):
+                noisy = jax.random.normal(
+                    rngs[i], (1, nfpb, cfg.in_dim, lat_h, lat_w), jnp.bfloat16
+                )
+                tt = jnp.full((1, nfpb), float(t), jnp.float32)
+                kv, am = fwd_j(self.params, noisy, cross, tt, kv)
+                amaxes.append(np.asarray(am, np.float64))
+            arr = np.stack(amaxes).max(axis=0)  # [L, sites]
+            sites = wan_dit._calib_site_order(self.params["blocks"])
+            return {site: arr[:, j] for j, site in enumerate(sites)}
         wan_dit._ACT_CALIB = []
         try:
             for i, t in enumerate(ts):

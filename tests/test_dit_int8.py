@@ -73,6 +73,26 @@ def test_static_scales_attach_and_match(fuse_qkv):
     assert corr(out_dyn, out_static) > 0.995
 
 
+@pytest.mark.parametrize("fuse_qkv", [True, False])
+def test_jit_calibration_matches_eager(fuse_qkv, monkeypatch):
+    """The jit-mode calibration (amaxes as lax.scan outputs, one compiled
+    program) must reproduce the eager per-layer loop's scales. The forward
+    activations themselves differ by ~1 bf16 ulp between eager and compiled
+    execution (XLA fusion changes intermediate rounding), so the amaxes can
+    drift ~0.4% per ulp — far under the 1.5x quantisation margin."""
+    gen = _mk(fuse_qkv)
+    monkeypatch.setenv("RTV_CAL_JIT", "0")
+    eager = gen.calibrate_act_scales(STEPS, lat_h=LAT, lat_w=LAT,
+                                     kv_frames=KV_FRAMES, nfpb=NFPB)
+    monkeypatch.setenv("RTV_CAL_JIT", "1")
+    jitted = gen.calibrate_act_scales(STEPS, lat_h=LAT, lat_w=LAT,
+                                      kv_frames=KV_FRAMES, nfpb=NFPB)
+    assert set(eager) == set(jitted)
+    for site in eager:
+        np.testing.assert_allclose(jitted[site], eager[site],
+                                   rtol=2e-2, err_msg=str(site))
+
+
 def test_calibration_requires_float_params():
     gen = _mk(True)
     gen.params = wan_dit.quantize_wan_linears(gen.params)
