@@ -206,55 +206,73 @@ def main() -> None:
     use_taehv = os.getenv("RTV_BENCH_TAEHV", "0") in ("1", "true") and not tiny
     if int8_dit:
         # build + calibrate + quantize on the HOST: the int8 path round-trips
-        # params through numpy anyway, and the eager calibration forwards
-        # would otherwise churn the (slow, sometimes sick) tunnel compile
-        # service with dozens of tiny one-off programs
+        # params through numpy anyway, and the calibration forwards would
+        # otherwise churn the (slow, sometimes sick) tunnel compile service.
+        # The finished QUANTIZED param tree is cached on disk (the analog of
+        # the reference shipping prebuilt TRT engines / quantized weights):
+        # a warm start skips the 1.3B random init + fuse + calibrate +
+        # quantize entirely and goes straight to device_put.
+        import hashlib
+        import pickle
+
         from realtime_video_tpu.models.diffusion_wrapper import host_build_env
 
-        with host_build_env():
-            gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16,
-                               timestep_shift=5.0, fuse_qkv=True)
-            act_scales = None
-            if os.getenv("RTV_BENCH_INT8_DIT_STATIC", "1") in ("1", "true"):
-                # calibrated static activation scales (mirrors the VAE's
-                # +0.42 fps static-amax win): one eager float pass per
-                # denoise timestep at small spatial dims, then no amax
-                # pass at all at serving time. The pass is deterministic
-                # (seed-0 params, fixed steps), so cache it on disk — it
-                # costs minutes of single-core eager time per bench run
-                # and the secure loop runs the bench 2-3x per attempt.
-                # The key folds in a hash of wan_dit.py and the quant-
-                # relevant env flags so stale entries miss automatically
-                # after model-code changes (ADVICE r4).
-                import hashlib
-                import pickle
+        static_scales = os.getenv(
+            "RTV_BENCH_INT8_DIT_STATIC", "1") in ("1", "true")
+        # key folds in a hash of wan_dit.py and the quant-relevant env flags
+        # so stale entries miss automatically after model-code changes
+        # (ADVICE r4); "qp1" versions the quantized-params cache layout
+        with open(wan_dit_mod.__file__, "rb") as f:
+            code_hash = hashlib.sha256(f.read()).hexdigest()[:8]
+        cal_key = hashlib.sha256(repr(
+            (cfg.dim, cfg.ffn_dim, cfg.num_heads, cfg.num_layers,
+             steps, code_hash,
+             os.getenv("RTV_DIT_AMAX_SUB", ""),
+             os.getenv("RTV_Q_RCP", ""),
+             os.getenv("RTV_Q_BF16", ""),
+             static_scales, "qp1")
+        ).encode()).hexdigest()[:16]
+        cache_on = os.getenv("RTV_BENCH_CAL_CACHE", "1") in ("1", "true")
+        qp_path = os.path.expanduser(f"~/.rtv_dit_qparams_{cal_key}.pkl")
+        if cache_on and os.path.exists(qp_path):
+            with open(qp_path, "rb") as f:
+                qparams = pickle.load(f)
+            gen = WanDiffusion(cfg=cfg, params=qparams, dtype=jnp.bfloat16,
+                               timestep_shift=5.0)
+        else:
+            with host_build_env():
+                gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16,
+                                   timestep_shift=5.0, fuse_qkv=True)
+                act_scales = None
+                if static_scales:
+                    # calibrated static activation scales (mirrors the VAE's
+                    # +0.42 fps static-amax win): one jitted float pass per
+                    # denoise timestep at small spatial dims (RTV_CAL_JIT),
+                    # then no amax pass at all at serving time
+                    cal_path = os.path.expanduser(
+                        f"~/.rtv_dit_scales_{cal_key}.pkl")
+                    if cache_on and os.path.exists(cal_path):
+                        with open(cal_path, "rb") as f:
+                            act_scales = pickle.load(f)
+                    else:
+                        act_scales = gen.calibrate_act_scales(steps)
+                        try:
+                            with open(cal_path, "wb") as f:
+                                pickle.dump(act_scales, f)
+                        except OSError:
+                            pass
+            import numpy as _np
 
-                with open(wan_dit_mod.__file__, "rb") as f:
-                    code_hash = hashlib.sha256(f.read()).hexdigest()[:8]
-                cal_key = hashlib.sha256(repr(
-                    (cfg.dim, cfg.ffn_dim, cfg.num_heads, cfg.num_layers,
-                     steps, code_hash,
-                     os.getenv("RTV_DIT_AMAX_SUB", ""),
-                     os.getenv("RTV_Q_RCP", ""),
-                     os.getenv("RTV_Q_BF16", ""))
-                ).encode()).hexdigest()[:16]
-                cal_path = os.path.expanduser(
-                    f"~/.rtv_dit_scales_{cal_key}.pkl")
-                if (os.getenv("RTV_BENCH_CAL_CACHE", "1") in ("1", "true")
-                        and os.path.exists(cal_path)):
-                    with open(cal_path, "rb") as f:
-                        act_scales = pickle.load(f)
-                else:
-                    act_scales = gen.calibrate_act_scales(steps)
-                    try:
-                        with open(cal_path, "wb") as f:
-                            pickle.dump(act_scales, f)
-                    except OSError:
-                        pass
-        gen.params = jax.device_put(
-            wan_dit_mod.quantize_wan_linears(gen.params, act_scales=act_scales),
-            dev,
-        )
+            qparams = wan_dit_mod.quantize_wan_linears(
+                gen.params, act_scales=act_scales)
+            if cache_on:
+                try:
+                    with open(qp_path, "wb") as f:
+                        pickle.dump(
+                            jax.tree_util.tree_map(_np.asarray, qparams), f)
+                except OSError:
+                    pass
+        gen.params = jax.device_put(qparams, dev)
     else:
         gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0,
                            fuse_qkv=True)
