@@ -55,7 +55,12 @@ def main() -> None:
 
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() == "tpu"
-    tiny = os.getenv("RTV_BENCH_TINY", "0") in ("1", "true") or not on_tpu
+    # RTV_BENCH_PRIME_ONLY=1 (with RTV_BENCH_CPU=1): build the full-size
+    # int8 model host-side, write the act-scale + quantized-param caches,
+    # and exit — primes a TPU bench's cold start without touching the chip
+    prime_only = os.getenv("RTV_BENCH_PRIME_ONLY", "0") in ("1", "true")
+    tiny = os.getenv("RTV_BENCH_TINY", "0") in ("1", "true") or (
+        not on_tpu and not prime_only)
 
     # bench-infrastructure time excluded from cold_start_ms: the tunnel
     # health gate + compile-poisoning probe below exist to validate the
@@ -272,8 +277,15 @@ def main() -> None:
                             jax.tree_util.tree_map(_np.asarray, qparams), f)
                 except OSError:
                     pass
+        if prime_only:
+            print(f"primed DiT caches (key {cal_key})", file=sys.stderr)
+            return
         gen.params = jax.device_put(qparams, dev)
     else:
+        if prime_only:
+            print("prime-only: nothing to prime without int8 DiT",
+                  file=sys.stderr)
+            return
         gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0,
                            fuse_qkv=True)
     # with >=2 attached devices the VAE rides its own chip: decode of block n
