@@ -24,6 +24,12 @@ os.environ.setdefault("RTV_STRICT_KERNELS", "1")
 _PROC_T0 = time.perf_counter()
 
 
+def _tl(label: str) -> None:
+    # cold-start phase timeline (stderr): where the startup seconds go
+    print(f"timeline: {label} @ {time.perf_counter() - _PROC_T0:.1f}s",
+          file=sys.stderr)
+
+
 def main() -> None:
     import jax
 
@@ -55,6 +61,7 @@ def main() -> None:
 
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() == "tpu"
+    _tl("jax imported + backend attached")
     # RTV_BENCH_PRIME_ONLY=1 (with RTV_BENCH_CPU=1): build the full-size
     # int8 model host-side, write the act-scale + quantized-param caches,
     # and exit — primes a TPU bench's cold start without touching the chip
@@ -182,6 +189,7 @@ def main() -> None:
                           "tap-skip and quantize-before-concat so the VAE "
                           "reuses the cached programs", file=sys.stderr)
         gate_s = time.perf_counter() - _gate_t0
+        _tl(f"health gate done ({gate_s:.1f}s, excluded)")
 
     if tiny:
         cfg = WanModelConfig(dim=128, ffn_dim=256, num_heads=2, num_layers=2)
@@ -277,15 +285,16 @@ def main() -> None:
                             jax.tree_util.tree_map(_np.asarray, qparams), f)
                 except OSError:
                     pass
+        _tl(f"DiT int8 params ready (key {cal_key})")
         if prime_only:
             print(f"primed DiT caches (key {cal_key})", file=sys.stderr)
-            return
-        gen.params = jax.device_put(qparams, dev)
+        else:
+            # async upload: the transfer overlaps the block-0 program's
+            # compile-cache load below (serializing it here measured 31.5 s
+            # of the 89 s cold start)
+            gen.params = jax.device_put(qparams, dev)
+            _tl("DiT params dispatched to device (async)")
     else:
-        if prime_only:
-            print("prime-only: nothing to prime without int8 DiT",
-                  file=sys.stderr)
-            return
         gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16, timestep_shift=5.0,
                            fuse_qkv=True)
     # with >=2 attached devices the VAE rides its own chip: decode of block n
@@ -293,31 +302,72 @@ def main() -> None:
     # devices execute concurrently). No-op on the single tunnel chip.
     vae_dev_idx = int(os.getenv("RTV_VAE_DEVICE", "1" if len(jax.devices()) > 1 else "-1"))
     vae_dev = jax.devices()[vae_dev_idx] if 0 <= vae_dev_idx < len(jax.devices()) else None
-    vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
-        jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16), device=vae_dev)
     if int8_vae:
-        act_scales = None
-        if os.getenv("RTV_BENCH_INT8_STATIC", "1") in ("1", "true"):
-            # calibrated static activation scales (TRT-calibration analog):
-            # drops the per-call dynamic amax pass. Calibrate eagerly at
-            # small spatial dims — scales transfer across resolution.
-            # Fused A/B on v5e: 8.21 vs 7.79 fps — default ON.
-            zc = jax.random.normal(
-                jax.random.PRNGKey(9), (1, 2, 8, 8, 16), jnp.bfloat16
-            )
-            pxc = jax.random.uniform(
-                jax.random.PRNGKey(10), (1, 1, 64, 64, 3), jnp.bfloat16,
-                minval=-1.0, maxval=1.0,
-            )
-            act_scales = vae_mod.calibrate_vae_act_scales(
-                vae.cfg, vae.params, zc, pxc
-            )
+        # build + calibrate + quantize HOST-side and cache the finished
+        # quantized VAE param tree on disk, mirroring the DiT path above
+        # (the eager calibration pass would otherwise churn the tunnel's
+        # compile service with tiny one-off programs on every cold start)
+        import hashlib
+        import pickle
+
+        from realtime_video_tpu.models.diffusion_wrapper import host_build_env
+
+        static_v = os.getenv("RTV_BENCH_INT8_STATIC", "1") in ("1", "true")
         skip_enc = os.getenv("RTV_BENCH_INT8_ENC", "1") not in ("1", "true")
-        vae.params = vae_mod.quantize_vae_params(
-            vae.params, act_scales=act_scales, skip_encoder=skip_enc
-        )
-        if vae_dev is not None:  # quantize round-trips host; re-pin
-            vae.params = jax.device_put(vae.params, vae_dev)
+        with open(vae_mod.__file__, "rb") as f:
+            vcode = hashlib.sha256(f.read()).hexdigest()[:8]
+        vq_key = hashlib.sha256(repr(
+            (repr(vae_cfg), static_v, skip_enc, vcode, "vq1")
+        ).encode()).hexdigest()[:16]
+        vq_cache_on = os.getenv("RTV_BENCH_CAL_CACHE", "1") in ("1", "true")
+        vq_path = os.path.expanduser(f"~/.rtv_vae_qparams_{vq_key}.pkl")
+        if vq_cache_on and os.path.exists(vq_path):
+            with open(vq_path, "rb") as f:
+                vparams = pickle.load(f)
+        else:
+            with host_build_env():
+                vparams = vae_mod.init_vae_params(
+                    jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16)
+                act_scales = None
+                if static_v:
+                    # calibrated static activation scales (TRT-calibration
+                    # analog): drops the per-call dynamic amax pass.
+                    # Calibrate eagerly at small spatial dims — scales
+                    # transfer across resolution. Fused A/B on v5e: 8.21 vs
+                    # 7.79 fps — default ON.
+                    zc = jax.random.normal(
+                        jax.random.PRNGKey(9), (1, 2, 8, 8, 16), jnp.bfloat16
+                    )
+                    pxc = jax.random.uniform(
+                        jax.random.PRNGKey(10), (1, 1, 64, 64, 3),
+                        jnp.bfloat16, minval=-1.0, maxval=1.0,
+                    )
+                    act_scales = vae_mod.calibrate_vae_act_scales(
+                        vae_cfg, vparams, zc, pxc
+                    )
+                vparams = vae_mod.quantize_vae_params(
+                    vparams, act_scales=act_scales, skip_encoder=skip_enc
+                )
+            if vq_cache_on:
+                import numpy as _np
+                try:
+                    with open(vq_path, "wb") as f:
+                        pickle.dump(
+                            jax.tree_util.tree_map(_np.asarray, vparams), f)
+                except OSError:
+                    pass
+        vae = VAEWrapper(cfg=vae_cfg, params=vparams, device=vae_dev)
+        _tl(f"VAE int8 params ready (key {vq_key})")
+        pin = vae_dev if vae_dev is not None else (dev if on_tpu else None)
+        if pin is not None and not prime_only:
+            vae.params = jax.device_put(vae.params, pin)
+    else:
+        vae = VAEWrapper(cfg=vae_cfg, params=vae_mod.init_vae_params(
+            jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16), device=vae_dev)
+    if prime_only:
+        print("primed host-side caches; exiting before device work",
+              file=sys.stderr)
+        return
     if use_taehv:
         # preview decode tier (reference use_taehv flag, release_server.py:350)
         from realtime_video_tpu.models import taehv as taehv_mod
@@ -332,6 +382,7 @@ def main() -> None:
 
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, cfg.text_dim), jnp.bfloat16)
     cross = gen.compute_crossattn_cache(gen.params, ctx)
+    _tl("crossattn cache dispatched")
     cache_size = kv_frames * fsl
     kv = kvc.init_kv_cache(cfg.num_layers, 1, cache_size, cfg.num_heads, cfg.head_dim)
 
@@ -442,11 +493,13 @@ def main() -> None:
 
         mega0_thv_fn = jax.jit(mega_block0_thv, donate_argnums=(1,))
 
+        _tl("compiling fused block-0 program (TAEHV)")
         px1, kv, tstate, rng = mega0_thv_fn(
             gen.params, kv, cross, taehv_params, noise, rng
         )
         jax.device_get(px1[0, -1, :, ::64, ::64])
         cold_start_ms = (time.perf_counter() - _PROC_T0 - gate_s) * 1e3
+        _tl(f"first frame read back (cold_start {cold_start_ms / 1e3:.1f}s)")
         px, kv, tstate, rng = mega_thv_fn(
             gen.params, kv, cross, taehv_params, tstate, ctx_frames,
             noise, (kv_frames - nfpb) * fsl, rng,
@@ -502,6 +555,7 @@ def main() -> None:
 
         # warmup / compile both fused programs (the reference precompiles at
         # server start, release_server.py:753-755)
+        _tl("compiling fused block-0 program")
         px1, kv, vcache, rng = mega0_fn(
             gen.params, kv, cross, vae.params, noise, rng
         )
@@ -511,12 +565,15 @@ def main() -> None:
         # exactly this)
         jax.device_get(px1[0, -1, ::64, ::64, :])
         cold_start_ms = (time.perf_counter() - _PROC_T0 - gate_s) * 1e3
+        _tl(f"first frame read back (cold_start {cold_start_ms / 1e3:.1f}s)")
         px_tail = px1[:, -1:]
+        _tl("compiling warm-block megafuse program")
         pxs, kv, vcache, rng, px_tail = mega_fn(
             gen.params, kv, cross, vae.params, vcache, px_tail, ctx_frames,
             noise, (kv_frames - nfpb) * fsl, rng,
         )
         jax.device_get(pxs[-1, 0, -1, ::64, ::64, :])
+        _tl("warm-block program ready")
     else:
         # warmup / compile the fused step + BOTH vae variants (first +
         # streaming). Decode per latent frame — the serving session's
@@ -529,6 +586,7 @@ def main() -> None:
         # warm the exact readback slice programs (see mega branch note)
         jax.device_get(px[0, -1, :, ::64, ::64])
         cold_start_ms = (time.perf_counter() - _PROC_T0 - gate_s) * 1e3
+        _tl(f"first frame read back (cold_start {cold_start_ms / 1e3:.1f}s)")
         # warm the block-0 (no-prefill) program too, so the TTFF measurement
         # below times execution, not compilation
         x0b0, kv, rng = step0_fn(gen.params, kv, cross, noise, rng)
