@@ -31,10 +31,40 @@ class Models:
         self.vae_decoder: VAEWrapper = vae_decoder
 
 
+def _denoise_steps(config, shift) -> tuple:
+    """The serving denoising schedule (drives int8 calibration)."""
+    import numpy as np
+
+    from realtime_video_tpu.scheduler import (
+        FlowMatchSchedule,
+        get_denoising_schedule,
+    )
+
+    schedule = FlowMatchSchedule.create(
+        shift=float(shift), sigma_min=0.0, extra_one_step=True
+    )
+    return tuple(float(t) for t in get_denoising_schedule(
+        np.asarray(schedule.zero_padded_timesteps()), 1.0,
+        int(config.get("num_denoising_steps", 5) or 5),
+    ))
+
+
+def _build_base_transformer(config, ckpt, shift) -> WanDiffusion:
+    if ckpt and os.path.exists(ckpt):
+        return WanDiffusion(
+            checkpoint_path=ckpt, timestep_shift=shift, is_causal=True,
+            fuse_qkv=True,
+        )
+    name = config.get("model_name", "t2v-1.3B")
+    log.warning("checkpoint %r missing — random-init %s", ckpt, name)
+    return WanDiffusion(
+        cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True,
+        fuse_qkv=True,
+    )
+
+
 def load_transformer(config) -> WanDiffusion:
     """Checkpoint autodetect + load (release_server.py:150-188)."""
-    import contextlib
-
     import jax
 
     t0 = time.time()
@@ -42,52 +72,48 @@ def load_transformer(config) -> WanDiffusion:
     shift = config.get("timestep_shift", 5.0)
     int8_dit = bool(config.get("enable_int8_dit",
                                config.get("enable_int8", False)))
-    from realtime_video_tpu.models.diffusion_wrapper import host_build_env
+    if not int8_dit:
+        transformer = _build_base_transformer(config, ckpt, shift)
+        log.debug("Transformer load: %.2fs", time.time() - t0)
+        return transformer
 
-    ctx = host_build_env() if int8_dit else contextlib.nullcontext()
-    with ctx:
-        if ckpt and os.path.exists(ckpt):
-            transformer = WanDiffusion(
-                checkpoint_path=ckpt, timestep_shift=shift, is_causal=True,
-                fuse_qkv=True,
-            )
-        else:
-            name = config.get("model_name", "t2v-1.3B")
-            log.warning("checkpoint %r missing — random-init %s", ckpt, name)
-            transformer = WanDiffusion(
-                cfg=WAN_CONFIGS[name], timestep_shift=shift, is_causal=True,
-                fuse_qkv=True,
-            )
-        act_scales = None
-        if int8_dit and config.get("int8_static_scales", True):
+    # int8 tier: build + calibrate + quantize HOST-side, with the finished
+    # quantized tree cached on disk (the reference ships prebuilt TRT
+    # engines / quantized weights; a warm server start here skips the
+    # ~2-minute init+calibrate+quantize and goes straight to device_put)
+    from realtime_video_tpu.models import wan_dit
+    from realtime_video_tpu.models.diffusion_wrapper import host_build_env
+    from realtime_video_tpu.utils import qcache
+
+    steps = (_denoise_steps(config, shift)
+             if config.get("int8_static_scales", True) else None)
+    src = (qcache.file_sig(ckpt) if ckpt and os.path.exists(ckpt)
+           else "random:" + config.get("model_name", "t2v-1.3B"))
+    key = qcache.cache_key(
+        src, float(shift), steps, qcache.code_hash(wan_dit),
+        os.getenv("RTV_DIT_AMAX_SUB", ""), os.getenv("RTV_Q_RCP", ""),
+        os.getenv("RTV_Q_BF16", ""), "qp1",
+    )
+
+    def build():
+        with host_build_env():
+            tr = _build_base_transformer(config, ckpt, shift)
             # calibrated STATIC activation scales (torchao static-quant
             # analog, release_server.py:179-182)
-            import numpy as np
+            act_scales = (tr.calibrate_act_scales(steps)
+                          if steps is not None else None)
+        return {"cfg": tr.cfg,
+                "params": wan_dit.quantize_wan_linears(
+                    tr.params, act_scales=act_scales)}
 
-            from realtime_video_tpu.scheduler import (
-                FlowMatchSchedule,
-                get_denoising_schedule,
-            )
-
-            schedule = FlowMatchSchedule.create(
-                shift=float(shift), sigma_min=0.0, extra_one_step=True
-            )
-            steps = tuple(float(t) for t in get_denoising_schedule(
-                np.asarray(schedule.zero_padded_timesteps()), 1.0,
-                int(config.get("num_denoising_steps", 5) or 5),
-            ))
-            act_scales = transformer.calibrate_act_scales(steps)
-    if int8_dit:
-        from realtime_video_tpu.models import wan_dit
-
-        transformer.params = jax.device_put(
-            wan_dit.quantize_wan_linears(
-                transformer.params, act_scales=act_scales
-            ),
-            jax.devices()[0],
-        )
-        log.info("DiT linears quantized to int8 (static scales: %s)",
-                 act_scales is not None)
+    entry = qcache.cached_tree("dit_qparams", key, build, log=log)
+    transformer = WanDiffusion(
+        cfg=entry["cfg"],
+        params=jax.device_put(entry["params"], jax.devices()[0]),
+        timestep_shift=shift, is_causal=True,
+    )
+    log.info("DiT linears quantized to int8 (static scales: %s)",
+             steps is not None)
     log.debug("Transformer load: %.2fs", time.time() - t0)
     return transformer
 
@@ -142,34 +168,50 @@ def load_vae(config) -> VAEWrapper:
         mesh = Mesh(np.array(jax.devices()[1 : 1 + n_sp]), ("sp",))
         dev = None
         log.info("VAE spatially sharded over chips 1..%d", n_sp)
-    vae = VAEWrapper.from_model_folder(dtype=jnp.bfloat16, device=dev, mesh=mesh)
-    if config.get("enable_int8", False):
-        # int8 conv tier (the reference's TRT-int8 / fp8 flags,
-        # release_server.py:179-182 + use_trt)
-        from realtime_video_tpu.models.vae import quantize_vae_params
+    if not config.get("enable_int8", False):
+        return VAEWrapper.from_model_folder(dtype=jnp.bfloat16, device=dev,
+                                            mesh=mesh)
 
-        act_scales = None
-        if config.get("int8_static_scales", True):
-            # TRT-calibration analog: static per-conv activation scales drop
-            # the per-call dynamic amax pass (fused A/B: 8.21 vs 7.79 fps).
-            # One eager float pass at tiny dims; scales transfer across res.
-            import jax.numpy as jnp_
+    # int8 conv tier (the reference's TRT-int8 / fp8 flags,
+    # release_server.py:179-182 + use_trt). Calibrate + quantize HOST-side
+    # and disk-cache the finished tree (see load_transformer).
+    from realtime_video_tpu.models import vae as vae_mod
+    from realtime_video_tpu.models.diffusion_wrapper import host_build_env
+    from realtime_video_tpu.utils import qcache
 
-            from realtime_video_tpu.models.vae import calibrate_vae_act_scales
+    from realtime_video_tpu.config import MODEL_FOLDER
 
-            zc = jax.random.normal(jax.random.PRNGKey(9),
-                                   (1, 2, 8, 8, vae.cfg.z_dim), jnp_.bfloat16)
-            pxc = jax.random.uniform(jax.random.PRNGKey(10), (1, 1, 64, 64, 3),
-                                     jnp_.bfloat16, minval=-1.0, maxval=1.0)
-            act_scales = calibrate_vae_act_scales(vae.cfg, vae.params, zc, pxc)
-        vae.params = quantize_vae_params(vae.params, act_scales=act_scales)
-        if dev is not None:  # quantize round-trips host; re-pin to the VAE chip
-            vae.params = jax.device_put(vae.params, dev)
-        elif mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+    static = bool(config.get("int8_static_scales", True))
+    ckpt = os.path.join(MODEL_FOLDER, "Wan2.1-T2V-1.3B", "Wan2.1_VAE.pth")
+    src = qcache.file_sig(ckpt) if os.path.exists(ckpt) else "random:wan2.1"
+    key = qcache.cache_key(src, static, qcache.code_hash(vae_mod), "vq1")
 
-            vae.params = jax.device_put(vae.params, NamedSharding(mesh, PartitionSpec()))
-        log.info("VAE quantized to int8")
+    def build():
+        with host_build_env():
+            base = VAEWrapper.from_model_folder(dtype=jnp.bfloat16)
+            act_scales = None
+            if static:
+                # TRT-calibration analog: static per-conv activation scales
+                # drop the per-call dynamic amax pass (fused A/B: 8.21 vs
+                # 7.79 fps). One eager float pass at tiny dims; scales
+                # transfer across resolution.
+                zc = jax.random.normal(
+                    jax.random.PRNGKey(9), (1, 2, 8, 8, base.cfg.z_dim),
+                    jnp.bfloat16)
+                pxc = jax.random.uniform(
+                    jax.random.PRNGKey(10), (1, 1, 64, 64, 3), jnp.bfloat16,
+                    minval=-1.0, maxval=1.0)
+                act_scales = vae_mod.calibrate_vae_act_scales(
+                    base.cfg, base.params, zc, pxc)
+            return {"cfg": base.cfg,
+                    "params": vae_mod.quantize_vae_params(
+                        base.params, act_scales=act_scales)}
+
+    entry = qcache.cached_tree("vae_qparams", key, build, log=log)
+    # the VAEWrapper ctor pins params to dev / replicates over mesh itself
+    vae = VAEWrapper(cfg=entry["cfg"], params=entry["params"],
+                     dtype=jnp.bfloat16, device=dev, mesh=mesh)
+    log.info("VAE quantized to int8 (static scales: %s)", static)
     return vae
 
 
