@@ -89,8 +89,13 @@ def load_transformer(config) -> WanDiffusion:
              if config.get("int8_static_scales", True) else None)
     src = (qcache.file_sig(ckpt) if ckpt and os.path.exists(ckpt)
            else "random:" + config.get("model_name", "t2v-1.3B"))
+    from realtime_video_tpu import config as config_mod
+
+    # code_hash(config_mod) covers the named-config dims (WAN_CONFIGS edits
+    # must miss, not silently load wrong-shape params)
     key = qcache.cache_key(
         src, float(shift), steps, qcache.code_hash(wan_dit),
+        qcache.code_hash(config_mod),
         os.getenv("RTV_DIT_AMAX_SUB", ""), os.getenv("RTV_Q_RCP", ""),
         os.getenv("RTV_Q_BF16", ""), "qp1",
     )
@@ -184,7 +189,10 @@ def load_vae(config) -> VAEWrapper:
     static = bool(config.get("int8_static_scales", True))
     ckpt = os.path.join(MODEL_FOLDER, "Wan2.1-T2V-1.3B", "Wan2.1_VAE.pth")
     src = qcache.file_sig(ckpt) if os.path.exists(ckpt) else "random:wan2.1"
-    key = qcache.cache_key(src, static, qcache.code_hash(vae_mod), "vq1")
+    from realtime_video_tpu import config as config_mod
+
+    key = qcache.cache_key(src, static, qcache.code_hash(vae_mod),
+                           qcache.code_hash(config_mod), "vq1")
 
     def build():
         with host_build_env():
