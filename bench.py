@@ -225,66 +225,48 @@ def main() -> None:
         # the reference shipping prebuilt TRT engines / quantized weights):
         # a warm start skips the 1.3B random init + fuse + calibrate +
         # quantize entirely and goes straight to device_put.
-        import hashlib
-        import pickle
-
+        from realtime_video_tpu.models import diffusion_wrapper as dw_mod
         from realtime_video_tpu.models.diffusion_wrapper import host_build_env
+        from realtime_video_tpu.utils import qcache
 
         static_scales = os.getenv(
             "RTV_BENCH_INT8_DIT_STATIC", "1") in ("1", "true")
-        # key folds in a hash of wan_dit.py and the quant-relevant env flags
-        # so stale entries miss automatically after model-code changes
-        # (ADVICE r4); "qp1" versions the quantized-params cache layout
-        with open(wan_dit_mod.__file__, "rb") as f:
-            code_hash = hashlib.sha256(f.read()).hexdigest()[:8]
-        cal_key = hashlib.sha256(repr(
-            (cfg.dim, cfg.ffn_dim, cfg.num_heads, cfg.num_layers,
-             steps, code_hash,
-             os.getenv("RTV_DIT_AMAX_SUB", ""),
-             os.getenv("RTV_Q_RCP", ""),
-             os.getenv("RTV_Q_BF16", ""),
-             static_scales, "qp1")
-        ).encode()).hexdigest()[:16]
-        cache_on = os.getenv("RTV_BENCH_CAL_CACHE", "1") in ("1", "true")
-        qp_path = os.path.expanduser(f"~/.rtv_dit_qparams_{cal_key}.pkl")
-        if cache_on and os.path.exists(qp_path):
-            with open(qp_path, "rb") as f:
-                qparams = pickle.load(f)
-            gen = WanDiffusion(cfg=cfg, params=qparams, dtype=jnp.bfloat16,
-                               timestep_shift=5.0)
-        else:
+        # key folds in hashes of wan_dit.py AND diffusion_wrapper.py (the
+        # calibration pass) plus the quant-relevant env flags, so stale
+        # entries miss automatically after model- or calibration-code
+        # changes (ADVICE r4); "qp2" versions the cache layout. The
+        # "bench_" prefixes keep bench's bare-tree schema out of the
+        # serving loader's {"cfg","params"} namespace (utils/qcache.py).
+        cal_key = qcache.cache_key(
+            cfg.dim, cfg.ffn_dim, cfg.num_heads, cfg.num_layers, steps,
+            qcache.code_hash(wan_dit_mod), qcache.code_hash(dw_mod),
+            os.getenv("RTV_DIT_AMAX_SUB", ""),
+            os.getenv("RTV_Q_RCP", ""),
+            os.getenv("RTV_Q_BF16", ""),
+            os.getenv("RTV_CAL_JIT", ""),
+            static_scales, "qp2",
+        )
+
+        def _build_dit_qparams():
             with host_build_env():
-                gen = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16,
-                                   timestep_shift=5.0, fuse_qkv=True)
+                g = WanDiffusion(cfg=cfg, dtype=jnp.bfloat16,
+                                 timestep_shift=5.0, fuse_qkv=True)
                 act_scales = None
                 if static_scales:
                     # calibrated static activation scales (mirrors the VAE's
                     # +0.42 fps static-amax win): one jitted float pass per
                     # denoise timestep at small spatial dims (RTV_CAL_JIT),
                     # then no amax pass at all at serving time
-                    cal_path = os.path.expanduser(
-                        f"~/.rtv_dit_scales_{cal_key}.pkl")
-                    if cache_on and os.path.exists(cal_path):
-                        with open(cal_path, "rb") as f:
-                            act_scales = pickle.load(f)
-                    else:
-                        act_scales = gen.calibrate_act_scales(steps)
-                        try:
-                            with open(cal_path, "wb") as f:
-                                pickle.dump(act_scales, f)
-                        except OSError:
-                            pass
-            import numpy as _np
+                    act_scales = qcache.cached_tree(
+                        "bench_dit_scales", cal_key,
+                        lambda: g.calibrate_act_scales(steps))
+                return wan_dit_mod.quantize_wan_linears(
+                    g.params, act_scales=act_scales)
 
-            qparams = wan_dit_mod.quantize_wan_linears(
-                gen.params, act_scales=act_scales)
-            if cache_on:
-                try:
-                    with open(qp_path, "wb") as f:
-                        pickle.dump(
-                            jax.tree_util.tree_map(_np.asarray, qparams), f)
-                except OSError:
-                    pass
+        qparams = qcache.cached_tree("bench_dit_qparams", cal_key,
+                                     _build_dit_qparams)
+        gen = WanDiffusion(cfg=cfg, params=qparams, dtype=jnp.bfloat16,
+                           timestep_shift=5.0)
         _tl(f"DiT int8 params ready (key {cal_key})")
         if prime_only:
             print(f"primed DiT caches (key {cal_key})", file=sys.stderr)
@@ -307,26 +289,17 @@ def main() -> None:
         # quantized VAE param tree on disk, mirroring the DiT path above
         # (the eager calibration pass would otherwise churn the tunnel's
         # compile service with tiny one-off programs on every cold start)
-        import hashlib
-        import pickle
-
         from realtime_video_tpu.models.diffusion_wrapper import host_build_env
+        from realtime_video_tpu.utils import qcache
 
         static_v = os.getenv("RTV_BENCH_INT8_STATIC", "1") in ("1", "true")
         skip_enc = os.getenv("RTV_BENCH_INT8_ENC", "1") not in ("1", "true")
-        with open(vae_mod.__file__, "rb") as f:
-            vcode = hashlib.sha256(f.read()).hexdigest()[:8]
-        vq_key = hashlib.sha256(repr(
-            (repr(vae_cfg), static_v, skip_enc, vcode, "vq1")
-        ).encode()).hexdigest()[:16]
-        vq_cache_on = os.getenv("RTV_BENCH_CAL_CACHE", "1") in ("1", "true")
-        vq_path = os.path.expanduser(f"~/.rtv_vae_qparams_{vq_key}.pkl")
-        if vq_cache_on and os.path.exists(vq_path):
-            with open(vq_path, "rb") as f:
-                vparams = pickle.load(f)
-        else:
+        vq_key = qcache.cache_key(repr(vae_cfg), static_v, skip_enc,
+                                  qcache.code_hash(vae_mod), "vq2")
+
+        def _build_vae_qparams():
             with host_build_env():
-                vparams = vae_mod.init_vae_params(
+                vp = vae_mod.init_vae_params(
                     jax.random.PRNGKey(1), vae_cfg, jnp.bfloat16)
                 act_scales = None
                 if static_v:
@@ -343,19 +316,14 @@ def main() -> None:
                         jnp.bfloat16, minval=-1.0, maxval=1.0,
                     )
                     act_scales = vae_mod.calibrate_vae_act_scales(
-                        vae_cfg, vparams, zc, pxc
+                        vae_cfg, vp, zc, pxc
                     )
-                vparams = vae_mod.quantize_vae_params(
-                    vparams, act_scales=act_scales, skip_encoder=skip_enc
+                return vae_mod.quantize_vae_params(
+                    vp, act_scales=act_scales, skip_encoder=skip_enc
                 )
-            if vq_cache_on:
-                import numpy as _np
-                try:
-                    with open(vq_path, "wb") as f:
-                        pickle.dump(
-                            jax.tree_util.tree_map(_np.asarray, vparams), f)
-                except OSError:
-                    pass
+
+        vparams = qcache.cached_tree("bench_vae_qparams", vq_key,
+                                     _build_vae_qparams)
         vae = VAEWrapper(cfg=vae_cfg, params=vparams, device=vae_dev)
         _tl(f"VAE int8 params ready (key {vq_key})")
         pin = vae_dev if vae_dev is not None else (dev if on_tpu else None)

@@ -372,7 +372,16 @@ def main() -> None:
         print(f"{label}: check ok (max err {np.abs(got - want).max():.4f})")
         return
 
-    blend = 0.999 + args.salt  # salt != 0 changes the trace hash -> fresh compile
+    # salt != 0 changes the trace hash -> fresh compile. The chain runs in
+    # bf16, where the blend literal is canonicalized at trace time: a salt
+    # below one bf16 ulp (2^-9 at ~1.0) leaves the HLO BIT-IDENTICAL and the
+    # persistent cache hits anyway. Quantize any nonzero salt up to >=0.004
+    # so the constant (and hence the trace) genuinely differs.
+    salt = args.salt
+    if salt != 0.0:
+        import math
+        salt = math.copysign(max(1, round(abs(salt) / 0.004)) * 0.004, salt)
+    blend = 0.999 - salt  # subtract: keep the chain contraction <= 1
 
     @jax.jit
     def chain(x, iters):

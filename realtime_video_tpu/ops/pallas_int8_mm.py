@@ -7,10 +7,13 @@ s8 — ~0.4 ms per FFN input in the round-4 trace, ~2.5x its own roofline),
 the s8 matmul, and a dequant epilogue. The round-4 profile puts the int8
 linears+elementwise at ~350 ms/block vs a ~175 ms roofline (docs/PARITY.md).
 This kernel keeps the activation in bf16 in HBM and quantises PER TILE in
-registers with the same per-tensor static scale (bit-identical values to
-the per-tensor pass for finite inputs), so the s8 copy of x never exists in
-HBM, and the dequant (a_scale * w_scale[n] + bias) runs in the matmul's
-own epilogue.
+registers with the same per-tensor static scale, so the s8 copy of x never
+exists in HBM, and the dequant (a_scale * w_scale[n] + bias) runs in the
+matmul's own epilogue. NOTE: the in-kernel quantise multiplies by a
+precomputed f32 reciprocal while the default XLA path divides — like
+RTV_Q_RCP, quanta at exact-half rounding boundaries can differ by 1 LSB
+(wan_dit.py:52-56); the A/B and tests compare within int8 tolerance, not
+bit-exactly.
 
 Reference role being chased: torchao int8/fp8 linears
 (release_server.py:179-182). Routed from wan_dit.linear behind

@@ -81,6 +81,7 @@ def load_transformer(config) -> WanDiffusion:
     # quantized tree cached on disk (the reference ships prebuilt TRT
     # engines / quantized weights; a warm server start here skips the
     # ~2-minute init+calibrate+quantize and goes straight to device_put)
+    from realtime_video_tpu.models import diffusion_wrapper as dw_mod
     from realtime_video_tpu.models import wan_dit
     from realtime_video_tpu.models.diffusion_wrapper import host_build_env
     from realtime_video_tpu.utils import qcache
@@ -91,13 +92,15 @@ def load_transformer(config) -> WanDiffusion:
            else "random:" + config.get("model_name", "t2v-1.3B"))
     from realtime_video_tpu import config as config_mod
 
-    # code_hash(config_mod) covers the named-config dims (WAN_CONFIGS edits
-    # must miss, not silently load wrong-shape params)
+    # code hashes cover everything that shapes the cached numerics: the
+    # model + quantise code (wan_dit), the named-config dims (config_mod —
+    # WAN_CONFIGS edits must miss, not load wrong-shape params), and the
+    # calibration pass itself (diffusion_wrapper.calibrate_act_scales)
     key = qcache.cache_key(
         src, float(shift), steps, qcache.code_hash(wan_dit),
-        qcache.code_hash(config_mod),
+        qcache.code_hash(config_mod), qcache.code_hash(dw_mod),
         os.getenv("RTV_DIT_AMAX_SUB", ""), os.getenv("RTV_Q_RCP", ""),
-        os.getenv("RTV_Q_BF16", ""), "qp1",
+        os.getenv("RTV_Q_BF16", ""), os.getenv("RTV_CAL_JIT", ""), "qp1",
     )
 
     def build():
@@ -216,8 +219,13 @@ def load_vae(config) -> VAEWrapper:
                         base.params, act_scales=act_scales)}
 
     entry = qcache.cached_tree("vae_qparams", key, build, log=log)
+    params = entry["params"]
+    if dev is None and mesh is None:
+        # cache entries are numpy (and build() quantizes host-side): pin to
+        # the chip explicitly, or every decode dispatch re-uploads the tree
+        params = jax.device_put(params, jax.devices()[0])
     # the VAEWrapper ctor pins params to dev / replicates over mesh itself
-    vae = VAEWrapper(cfg=entry["cfg"], params=entry["params"],
+    vae = VAEWrapper(cfg=entry["cfg"], params=params,
                      dtype=jnp.bfloat16, device=dev, mesh=mesh)
     log.info("VAE quantized to int8 (static scales: %s)", static)
     return vae

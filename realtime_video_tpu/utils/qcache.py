@@ -62,11 +62,20 @@ def cached_tree(prefix: str, key: str, build: Callable[[], Any],
     """
     path = _path(prefix, key)
     if enabled() and os.path.exists(path):
-        with open(path, "rb") as f:
-            tree = pickle.load(f)
-        if log is not None:
-            log.info("quantized-param cache HIT %s", path)
-        return tree
+        try:
+            with open(path, "rb") as f:
+                tree = pickle.load(f)
+            if log is not None:
+                log.info("quantized-param cache HIT %s", path)
+            return tree
+        except Exception:  # truncated/corrupt entry (killed writer) -> miss
+            if log is not None:
+                log.warning("quantized-param cache CORRUPT %s — rebuilding",
+                            path)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
     tree = build()
     if enabled():
         import numpy as np
@@ -75,11 +84,19 @@ def cached_tree(prefix: str, key: str, build: Callable[[], Any],
         def _np(x):  # non-array leaves (configs, scalars) pickle as-is
             return np.asarray(x) if isinstance(x, jax.Array) else x
 
+        # tmp + atomic rename: a writer killed mid-dump (the unattended
+        # chains run benches under `timeout`) must not leave a truncated
+        # pickle under a live key
+        tmp = f"{path}.tmp.{os.getpid()}"
         try:
-            with open(path, "wb") as f:
+            with open(tmp, "wb") as f:
                 pickle.dump(jax.tree_util.tree_map(_np, tree), f)
+            os.replace(tmp, path)
             if log is not None:
                 log.info("quantized-param cache stored %s", path)
         except OSError:
-            pass
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     return tree

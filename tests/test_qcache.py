@@ -54,6 +54,30 @@ def test_cached_tree_disabled(tmp_path, monkeypatch):
     assert not any(f.startswith(".rtv_test_") for f in os.listdir(tmp_path))
 
 
+def test_cached_tree_corrupt_entry_rebuilds(tmp_path, monkeypatch):
+    """A truncated pickle (writer killed mid-dump) is a miss, not a crash."""
+    monkeypatch.setenv("RTV_QUANT_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("RTV_QUANT_CACHE", "1")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"w": jnp.ones(3)}
+
+    qcache.cached_tree("test", "kc", build)
+    (path,) = [tmp_path / f for f in os.listdir(tmp_path)
+               if f.startswith(".rtv_test_")]
+    path.write_bytes(path.read_bytes()[:7])  # truncate
+    t = qcache.cached_tree("test", "kc", build)
+    assert len(calls) == 2
+    np.testing.assert_array_equal(np.asarray(t["w"]), np.ones(3))
+    # the rebuild re-stored a loadable entry
+    t2 = qcache.cached_tree("test", "kc", build)
+    assert len(calls) == 2
+    np.testing.assert_array_equal(np.asarray(t2["w"]), np.ones(3))
+    assert not any(".tmp." in f for f in os.listdir(tmp_path))
+
+
 def test_serving_int8_load_uses_cache(tmp_path, monkeypatch):
     """load_transformer's int8 tier: second load comes from the disk cache
     and produces the same quantized params + a working forward config."""
@@ -103,4 +127,7 @@ def test_serving_int8_vae_load_uses_cache(tmp_path, monkeypatch):
     l2 = jax.tree_util.tree_leaves(v2.params)
     assert len(l1) == len(l2)
     for a, b in zip(l1, l2):
+        # both loads (build path and cache-HIT path) must leave params
+        # DEVICE-resident — numpy leaves re-upload per decode dispatch
+        assert isinstance(a, jax.Array) and isinstance(b, jax.Array)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
