@@ -696,7 +696,10 @@ if __name__ == "__main__":
     except Exception as e:  # noqa: BLE001 — degrade rather than emit nothing
         import gc
 
+        import traceback
+
         print(f"full-size bench failed ({type(e).__name__}); tiny fallback", file=sys.stderr)
+        traceback.print_exc(limit=20, file=sys.stderr)
         # drop the traceback's frame refs so the failed attempt's HBM frees
         e.__traceback__ = None
         del e

@@ -33,6 +33,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _ceil(a: int, b: int) -> int:
@@ -49,7 +50,14 @@ def _vmem_bytes(th: int, Wp: int, C: int, Co: int, xb: int, ob: int) -> int:
 
 
 def _pick_th(H: int, Wp: int, C: int, Co: int, xb: int, ob: int,
-             budget: int = 12 << 20) -> int:
+             budget: int = 20 << 20) -> int:
+    # The kernel requests a raised scoped-vmem limit (64M, see pallas_call
+    # below) because the default 16M rejects real serving shapes: dec96
+    # (482x834, 288->96) measured 16.32M actual vs a 12M estimate — the
+    # static model undercounts the per-tap dot/accumulate temporaries by
+    # ~1.7x (2026-08-20 on-chip smoke). Budget 20M ~= 34M actual worst
+    # case, comfortably under the raised limit while keeping tiles small
+    # enough to double-buffer.
     for th in (16, 12, 10, 8, 6, 5, 4, 3, 2):
         if H % th == 0 and _vmem_bytes(th, Wp, C, Co, xb, ob) <= budget:
             return th
@@ -104,5 +112,9 @@ def conv3x3(x: jnp.ndarray, w: jnp.ndarray, preferred=None,
         ],
         out_specs=pl.BlockSpec((1, th, W, Co), lambda n, i: (n, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, H, W, Co), out_dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the default 16M scoped-vmem stack limit rejects real decoder
+            # shapes (docstring); v5e VMEM is far larger — raise it
+            vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(x, w)

@@ -105,6 +105,10 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         scratch = bm * bk if bk == K else bm * bn * 4  # s8 xq | s32 acc
         vmem = (2 * bm * bk * x.dtype.itemsize + 2 * bk * bn  # x + s8 w
                 + 2 * bm * bn * x.dtype.itemsize + scratch  # out + scratch
+                + 3 * bm * bn * 4  # s32 dot result + f32 dequant temps: the
+                # measured scoped-vmem stack at 4680-token serving shapes
+                # exceeded the 16M limit by exactly this term (2026-08-20
+                # smoke: est 11.5M -> actual 18.54M, go/compile-time-vmem-oom)
                 + 3 * 2 * bn * 4)  # ws/asc/b rows
         return vmem <= (12 << 20)
 
@@ -143,6 +147,9 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
             out_specs=pl.BlockSpec((bm, bn), lambda m, n: (m, n)),
             out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
             scratch_shapes=[pltpu.VMEM((bm, K), jnp.int8)],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 << 20),  # default 16M rejects 4680-token
+            # serving shapes (scoped-vmem stack OOM, 2026-08-20 smoke)
             interpret=interpret,
         )(x2, w_q, ws, asc, b)
     else:
@@ -159,6 +166,8 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
             out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
             out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 << 20),
             interpret=interpret,
         )(x2, w_q, ws, asc, b)
     return out.reshape(*lead, M, N) if lead else out
