@@ -77,11 +77,20 @@ def smoke_conv():
     from realtime_video_tpu.ops import pallas_conv2
 
     ok = fail = routed_away = 0
+    int8 = "--int8" in sys.argv  # the production VAE tier: s8 x s8 -> s32
     for name, T, Hp, Wp, Ci, Co in CONV_SHAPES:
-        x = jnp.asarray(np.random.randn(T, Hp, Wp, Ci) * 0.1, jnp.bfloat16)
-        w = jnp.asarray(np.random.randn(3, 3, Ci, Co) * 0.02, jnp.bfloat16)
-        try:
+        if int8:
+            x = jnp.asarray(np.random.randint(-127, 128, (T, Hp, Wp, Ci)),
+                            jnp.int8)
+            w = jnp.asarray(np.random.randint(-127, 128, (3, 3, Ci, Co)),
+                            jnp.int8)
+            fn = jax.jit(lambda x, w: pallas_conv2.conv3x3(
+                x, w, preferred=jnp.int32))
+        else:
+            x = jnp.asarray(np.random.randn(T, Hp, Wp, Ci) * 0.1, jnp.bfloat16)
+            w = jnp.asarray(np.random.randn(3, 3, Ci, Co) * 0.02, jnp.bfloat16)
             fn = jax.jit(lambda x, w: pallas_conv2.conv3x3(x, w))
+        try:
             y = fn(x, w)
             if y is None:
                 print(f"conv {name} (T{T} {Hp}x{Wp} {Ci}->{Co}): routed to XLA (no tile)")

@@ -64,19 +64,37 @@ def _pick_th(H: int, Wp: int, C: int, Co: int, xb: int, ob: int,
     return 0
 
 
-def _kernel(x_ref, w_ref, o_ref, *, th: int, W: int, acc_dtype):
+def _kernel(x_ref, w_ref, o_ref, *, th: int, W: int, acc_dtype,
+            bf16_dot: bool):
     x = x_ref[0]  # [th+2, Wp, C]
     w = w_ref[...]  # [3, 3, C, Co]
     Wp = x.shape[1]
     acc = None
     for di in range(3):
-        # contiguous reshape (slices only the leading row dim) -> one wide
-        # matmul per tap over the full padded width; the dj alignment is a
-        # column slice of the RESULT, not an input restaging
-        rows = x[di : di + th].reshape(th * Wp, x.shape[-1])
+        # rank-3 dot_general contracting C: one [Wp, C] @ [C, Co] matmul per
+        # row of the th-slice, no reshape — merging (th, Wp) via reshape
+        # crashes the Mosaic backend for s8 operands ((32,128) tiling; the
+        # int8 VAE tier hit it in situ, 2026-08-20), and the dj alignment is
+        # a column slice of the RESULT, not an input restaging
+        xs = x[di : di + th]
         for dj in range(3):
-            yf = jnp.dot(rows, w[di, dj], preferred_element_type=acc_dtype)
-            a = yf.reshape(th, Wp, -1)[:, dj : dj + W, :]
+            wt = w[di, dj]
+            if bf16_dot:
+                # ragged-C s8 dots (C % 128 != 0) crash Mosaic; a bf16 dot
+                # with f32 accumulate is bit-exact for the int8 tier while
+                # every intermediate integer stays < 2^24 (s8 values are
+                # exact in bf16, products exact in f32, per-tap sums
+                # <= C * 127^2 — the caller gates C <= 1040), and the f32 ->
+                # s32 cast below is exact for integers
+                yf = jax.lax.dot_general(
+                    xs.astype(jnp.bfloat16), wt.astype(jnp.bfloat16),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(acc_dtype)
+            else:
+                yf = jax.lax.dot_general(
+                    xs, wt, (((2,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype)
+            a = yf[:, dj : dj + W, :]
             acc = a if acc is None else acc + a
     o_ref[...] = acc.astype(o_ref.dtype)[None]
 
@@ -95,12 +113,18 @@ def conv3x3(x: jnp.ndarray, w: jnp.ndarray, preferred=None,
         acc_dtype = out_dtype = preferred
     else:
         acc_dtype, out_dtype = jnp.float32, x.dtype
+    bf16_dot = x.dtype == jnp.int8 and C % 128 != 0
+    if bf16_dot and C > 1040:
+        # bf16-dot exactness bound: per-tap |sum| <= C * 127^2 must stay
+        # < 2^24 for the f32 accumulate to be integer-exact (kernel note)
+        return None
     th = _pick_th(H, Wp, C, Co, x.dtype.itemsize,
                   jnp.dtype(out_dtype).itemsize)
     if th == 0:
         return None
     return pl.pallas_call(
-        functools.partial(_kernel, th=th, W=W, acc_dtype=acc_dtype),
+        functools.partial(_kernel, th=th, W=W, acc_dtype=acc_dtype,
+                          bf16_dot=bf16_dot),
         grid=(N, H // th),
         in_specs=[
             pl.BlockSpec(

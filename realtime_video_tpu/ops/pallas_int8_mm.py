@@ -19,6 +19,13 @@ Reference role being chased: torchao int8/fp8 linears
 (release_server.py:179-182). Routed from wan_dit.linear behind
 RTV_DIT_PALLAS_MM (A/B-gated, docs/MEASUREMENTS.md round-5).
 
+STATUS: MEASURED LOSER, kept opt-in. Fused A/B 2026-08-20 (window-stable,
+default bracketed 9.125/9.124): RTV_DIT_PALLAS_MM=1 reads 8.234 fps (-9.8%).
+Inside the megafused block program XLA fuses the quantise into producer
+epilogues and pipelines the s8 matmuls better than this kernel's
+per-tile requantise; the HBM-traffic argument above does not survive
+in situ. Do not re-enable without a new in-situ lead.
+
 Static-scale tier only (p["a_scale"] present — the serving default); the
 dynamic-amax tier needs a global reduce before quantising and stays on XLA.
 """
